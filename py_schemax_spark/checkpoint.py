@@ -1,0 +1,118 @@
+"""Checkpoint manifest + resume (north_rule: "resumable from checkpoint
+with per-partition lineage + metrics").
+
+The manifest is a driver-side JSONL file, one record per completed
+``(snapshot_id, part)``:
+
+    {"snapshot_id": ..., "part": "2024-01-02", "row_count": N,
+     "violation_count": M, "valid": bool, "stats_digest": "...",
+     "spec_fingerprint": "..."}
+
+Restart flow: records whose (snapshot_id, spec_fingerprint) match the
+current run mark their partitions complete; the runner excludes them
+from the scan PREDICATE (so Iceberg/parquet partition pruning skips
+their files entirely — resume costs no I/O on done partitions), and
+the final verdict is (persisted violations of done parts) ∪ (fresh
+violations of remaining parts).
+
+Writes are atomic: temp file + ``os.replace`` of the whole manifest —
+a killed run can lose at most the in-flight batch, never corrupt the
+file (SURVEY.md §4.2 "checkpoint/resume manifest — custom, driver JSON
++ atomic rename").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from pathlib import Path
+from typing import Any, Optional
+
+
+class CheckpointManifest:
+    def __init__(self, directory: str, snapshot_id: str, spec_fingerprint: str):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.path = self.dir / "manifest.jsonl"
+        self.snapshot_id = snapshot_id
+        self.spec_fingerprint = spec_fingerprint
+        self._records: dict[str, dict] = {}
+        self._load()
+
+    def _load(self) -> None:
+        if not self.path.is_file():
+            return
+        with open(self.path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                if (
+                    rec.get("snapshot_id") == self.snapshot_id
+                    and rec.get("spec_fingerprint") == self.spec_fingerprint
+                ):
+                    self._records[rec["part"]] = rec
+
+    @property
+    def completed_parts(self) -> set[str]:
+        return set(self._records)
+
+    def record(self, part: str) -> Optional[dict]:
+        return self._records.get(part)
+
+    def mark_done(self, part: str, metrics: dict[str, Any]) -> None:
+        rec = {
+            "snapshot_id": self.snapshot_id,
+            "spec_fingerprint": self.spec_fingerprint,
+            "part": str(part),
+            **metrics,
+        }
+        self._records[str(part)] = rec
+        self._flush()
+
+    def mark_done_many(self, parts_metrics: dict[str, dict]) -> None:
+        for part, metrics in parts_metrics.items():
+            rec = {
+                "snapshot_id": self.snapshot_id,
+                "spec_fingerprint": self.spec_fingerprint,
+                "part": str(part),
+                **metrics,
+            }
+            self._records[str(part)] = rec
+        self._flush()
+
+    def _flush(self) -> None:
+        tmp = self.path.with_suffix(".jsonl.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for rec in self._records.values():
+                f.write(json.dumps(rec, default=str) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.path)
+
+    @property
+    def violations_dir(self) -> str:
+        return str(self.dir / "violations")
+
+
+def spec_fingerprint(spec) -> str:
+    """Stable fingerprint of a TableSpec — manifest entries are only
+    reusable if the constraints that produced them are identical."""
+    from dataclasses import asdict
+
+    payload = json.dumps(asdict(spec), sort_keys=True, default=str)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def snapshot_id_for(source: str) -> str:
+    """Snapshot identity for a parquet dir: path + max mtime of data
+    files (an Iceberg deployment would use the table's snapshot-id;
+    the local-parquet stand-in must still change when data changes)."""
+    p = Path(source)
+    mtimes = [0.0]
+    if p.is_dir():
+        mtimes += [f.stat().st_mtime for f in p.rglob("*.parquet")]
+    h = hashlib.sha256(f"{source}:{max(mtimes)}".encode()).hexdigest()[:16]
+    return h

@@ -1,0 +1,153 @@
+"""CLI: ``python -m py_schemax_spark.cli validate TABLE_PATH...``
+
+Command-surface parity with the reference's ``schemax validate``
+(cli.py:78-258), re-targeted at data validation:
+
+- positional args = parquet/Iceberg table paths (the reference takes
+  schema-file paths, cli.py:79); when absent, newline-delimited paths
+  are read from stdin, blank lines skipped, args win over stdin —
+  exactly the reference's stdin contract (utils.py:9-18, cli.py:223)
+- ``--spec`` constraint-spec file (JSON/YAML/TOML)
+- ``--check`` / ``--skip`` = --rule-apply / --rule-ignore (cli.py:142-157)
+- ``--fail-after/--fail-fast/--fail-never`` (cli.py:~109 fail modes)
+- ``--output-format`` / ``--silent/--quiet/--verbose`` (cli.py:96,128)
+- env vars SCHEMAX_SPARK_VALIDATE_* and TOML files provide lower
+  precedence layers (config.py in this package)
+- ``--required-attributes`` / ``--column-required-attributes``: the
+  dynamic tightening layer (reference model.py:30-112, cli.py:235-236)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional
+
+from py_schemax_spark.config import resolve_config
+from py_schemax_spark.output import Output
+from py_schemax_spark.runner import RunConfig, ValidationRun
+from py_schemax_spark.specs.loader import load_spec
+
+
+def accept_paths_from_stdin(args_paths: list[str]) -> list[str]:
+    """Args win over stdin; blank stdin lines skipped (reference
+    utils.py:9-18)."""
+    if args_paths:
+        return args_paths
+    if sys.stdin is None or sys.stdin.isatty():
+        return []
+    return [ln.strip() for ln in sys.stdin if ln.strip()]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="py-schemax-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+    v = sub.add_parser("validate", help="validate table(s) against a spec")
+    v.add_argument("tables", nargs="*", help="parquet table paths (or stdin)")
+    v.add_argument("--spec", required=True, help="constraint spec file")
+    v.add_argument("--dim", action="append", default=[],
+                   metavar="NAME=PATH",
+                   help="dimension table for referential checks")
+    v.add_argument("--baseline", default=None,
+                   help="drift baseline snapshot parquet")
+    v.add_argument("--check", dest="checks", default=None,
+                   help="comma list of constraint classes to run")
+    v.add_argument("--skip", default=None,
+                   help="comma list of constraint classes to skip")
+    fm = v.add_mutually_exclusive_group()
+    fm.add_argument("--fail-after", dest="fail_mode", action="store_const",
+                    const="after")
+    fm.add_argument("--fail-fast", dest="fail_mode", action="store_const",
+                    const="fast")
+    fm.add_argument("--fail-never", dest="fail_mode", action="store_const",
+                    const="never")
+    v.add_argument("--output-format", choices=("text", "json"), default=None)
+    lv = v.add_mutually_exclusive_group()
+    lv.add_argument("--silent", dest="output_level", action="store_const",
+                    const="silent")
+    lv.add_argument("--quiet", dest="output_level", action="store_const",
+                    const="quiet")
+    lv.add_argument("--verbose", dest="output_level", action="store_const",
+                    const="verbose")
+    v.add_argument("--checkpoint-dir", default=None)
+    v.add_argument("--salt", type=int, default=None)
+    v.add_argument("--order-col", default=None)
+    v.add_argument("--required-attributes", default=None)
+    v.add_argument("--column-required-attributes", default=None)
+    v.add_argument("--master", default=None, help="spark master override")
+    v.set_defaults(fail_mode=None, output_level=None)
+    return p
+
+
+def main(argv: Optional[list[str]] = None, spark=None) -> int:
+    ns = build_parser().parse_args(argv)
+    cfg = resolve_config(
+        {
+            "output_format": ns.output_format,
+            "output_level": ns.output_level,
+            "fail_mode": ns.fail_mode,
+            "checks": ns.checks,
+            "skip": ns.skip,
+            "checkpoint_dir": ns.checkpoint_dir,
+            "salt": ns.salt,
+            "order_col": ns.order_col,
+            "required_attributes": ns.required_attributes,
+            "column_required_attributes": ns.column_required_attributes,
+        }
+    )
+    out = Output(cfg.output_format, cfg.output_level)
+
+    spec_result = load_spec(
+        ns.spec,
+        required_attributes=cfg.required_attributes,
+        column_required_attributes=cfg.column_required_attributes,
+    )
+    if not spec_result.valid:
+        for e in spec_result.errors:
+            print(f"❌ {ns.spec}: {e.error_at}: {e.message}", file=sys.stderr)
+        return 1
+
+    tables = accept_paths_from_stdin(ns.tables)
+    if not tables:
+        print("no table paths given (args or stdin)", file=sys.stderr)
+        return 2
+
+    own_spark = spark is None
+    if own_spark:
+        from py_schemax_spark.session import get_spark
+
+        spark = get_spark(master=ns.master)
+    try:
+        dims = {}
+        for d in ns.dim:
+            name, _, path = d.partition("=")
+            dims[name] = spark.read.parquet(path)
+        baseline = (
+            spark.read.parquet(ns.baseline) if ns.baseline else None
+        )
+        rc = RunConfig(
+            checks=cfg.checks or RunConfig.checks,
+            skip=cfg.skip,
+            fail_mode=cfg.fail_mode,
+            order_col=cfg.order_col,
+            checkpoint_dir=cfg.checkpoint_dir,
+            salt=cfg.salt,
+        )
+        worst = 0
+        for t in tables:
+            df = spark.read.parquet(t)
+            run = ValidationRun(spark, spec_result.spec, dims, baseline, rc)
+            result = run.run(df, source=t)
+            out.print_result(result)
+            code = out.end_control(result, cfg.fail_mode)
+            worst = max(worst, code)
+            if code != 0 and cfg.fail_mode == "fast":
+                return code
+        return worst
+    finally:
+        if own_spark:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,143 @@
+"""Run configuration with 4-layer precedence (SURVEY.md §2.3 C4):
+
+    CLI flags  >  env vars  >  TOML files  >  defaults
+
+— the same resolution order as the reference (config.py:73-217):
+env vars ``SCHEMAX_SPARK_VALIDATE_*`` (analogue of
+``SCHEMAX_VALIDATE_*``, reference cli.py:96-156), TOML from
+``schemax.toml`` (``[validate]``) or ``pyproject.toml``
+(``[tool.schemax_spark.validate]``), mirroring reference
+config.py:24,187-217.
+
+Enums mirror reference config.py:7-21:
+- output format: text | json            (C3)
+- output level:  silent | quiet | verbose (C2)
+- fail mode:     after | fast | never   (C1)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Optional
+
+try:
+    import tomllib
+except ImportError:  # pragma: no cover
+    tomllib = None
+
+OUTPUT_FORMATS = ("text", "json")
+OUTPUT_LEVELS = ("silent", "quiet", "verbose")
+FAIL_MODES = ("after", "fast", "never")
+
+ENV_PREFIX = "SCHEMAX_SPARK_VALIDATE_"
+
+DEFAULTS: dict[str, Any] = {
+    "output_format": "text",
+    "output_level": "quiet",
+    "fail_mode": "after",
+    "checks": "schema,rows,uniqueness,referential,drift",
+    "skip": "",
+    "checkpoint_dir": None,
+    "salt": 1,
+    "order_col": None,
+    "required_attributes": "",
+    "column_required_attributes": "",
+}
+
+_TOML_FILES = ("schemax.toml", "pyproject.toml")
+
+
+def _toml_layer(cwd: str = ".") -> dict[str, Any]:
+    """TOML config: schemax.toml [validate] first, else pyproject.toml
+    [tool.schemax_spark.validate] (reference config.py:187-217)."""
+    if tomllib is None:
+        return {}
+    for fname in _TOML_FILES:
+        p = Path(cwd) / fname
+        if not p.is_file():
+            continue
+        with open(p, "rb") as f:
+            try:
+                doc = tomllib.load(f)
+            except Exception:
+                continue
+        if fname == "schemax.toml":
+            section = doc.get("validate", {})
+        else:
+            section = (
+                doc.get("tool", {}).get("schemax_spark", {}).get("validate", {})
+            )
+        if section:
+            return dict(section)
+    return {}
+
+
+def _env_layer() -> dict[str, Any]:
+    out = {}
+    for key in DEFAULTS:
+        v = os.environ.get(ENV_PREFIX + key.upper())
+        if v is not None:
+            out[key] = v
+    return out
+
+
+@dataclass
+class ValidateConfig:
+    output_format: str = "text"
+    output_level: str = "quiet"
+    fail_mode: str = "after"
+    checks: tuple[str, ...] = ()
+    skip: tuple[str, ...] = ()
+    checkpoint_dir: Optional[str] = None
+    salt: int = 1
+    order_col: Optional[str] = None
+    required_attributes: tuple[str, ...] = ()
+    column_required_attributes: tuple[str, ...] = ()
+
+    def validate(self) -> None:
+        if self.output_format not in OUTPUT_FORMATS:
+            raise ValueError(f"invalid output_format '{self.output_format}'")
+        if self.output_level not in OUTPUT_LEVELS:
+            raise ValueError(f"invalid output_level '{self.output_level}'")
+        if self.fail_mode not in FAIL_MODES:
+            raise ValueError(f"invalid fail_mode '{self.fail_mode}'")
+
+
+def _split(v: Any) -> tuple[str, ...]:
+    if v is None:
+        return ()
+    if isinstance(v, (list, tuple)):
+        return tuple(str(x) for x in v)
+    return tuple(x.strip() for x in str(v).split(",") if x.strip())
+
+
+def resolve_config(
+    cli_overrides: Optional[dict[str, Any]] = None, cwd: str = "."
+) -> ValidateConfig:
+    """Merge the four layers; ``cli_overrides`` entries that are None
+    are treated as "not given" (so flags only win when present —
+    reference click default_map semantics, cli.py:33-54)."""
+    merged = dict(DEFAULTS)
+    merged.update(_toml_layer(cwd))
+    merged.update(_env_layer())
+    for k, v in (cli_overrides or {}).items():
+        if v is not None:
+            merged[k] = v
+    cfg = ValidateConfig(
+        output_format=str(merged["output_format"]),
+        output_level=str(merged["output_level"]),
+        fail_mode=str(merged["fail_mode"]),
+        checks=_split(merged["checks"]),
+        skip=_split(merged["skip"]),
+        checkpoint_dir=merged.get("checkpoint_dir") or None,
+        salt=int(merged.get("salt") or 1),
+        order_col=merged.get("order_col") or None,
+        required_attributes=_split(merged.get("required_attributes")),
+        column_required_attributes=_split(
+            merged.get("column_required_attributes")
+        ),
+    )
+    cfg.validate()
+    return cfg

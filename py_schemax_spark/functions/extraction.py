@@ -1,0 +1,88 @@
+"""Deterministic text extraction from html payloads.
+
+The per-row invariant of the engine (BASELINE.json input_hint): the
+text extracted from ``html`` must be BYTE-identical to the stored
+``text`` column for every url. Extraction runs as an Arrow-batched
+pandas UDF over the binary column — never per-row Python (the
+reference's per-document Pydantic walk is exactly what we are
+replacing; SURVEY.md §2.4).
+
+Byte-identity across the Arrow boundary is achieved by operating on
+``bytes`` and decoding/encoding UTF-8 explicitly — we never rely on
+pandas object coercion (SURVEY.md §7 hard-point (b)).
+
+``extract_text_py`` is the single-process pure-Python reference
+implementation; pytest asserts UDF(html) == reference(html) == text.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# Fixed reversible template (FIXTURES.md §1): html is rendered from
+# text, so extraction has a known byte-exact inverse.
+_PRE = b"<html><head><title>d</title></head><body><article>"
+_POST = b"</article></body></html>"
+
+# minimal HTML escaping — order matters (& first on escape, last on unescape)
+_ESCAPES = [(b"&", b"&amp;"), (b"<", b"&lt;"), (b">", b"&gt;")]
+
+
+def render_html_py(text: Optional[str]) -> Optional[bytes]:
+    """Pure-Python renderer (inverse of extraction); used by datagen
+    tests to cross-check the JVM-side renderer expression."""
+    if text is None:
+        return None
+    body = text.encode("utf-8")
+    for raw, esc in _ESCAPES:
+        body = body.replace(raw, esc)
+    return _PRE + body + _POST
+
+
+def render_html_expr(text_col: Column) -> Column:
+    """JVM-side renderer: same bytes as ``render_html_py``, built from
+    codegen'd string functions so datagen needs no Python at scale."""
+    body = text_col
+    for raw, esc in _ESCAPES:
+        body = F.replace(body, F.lit(raw.decode()), F.lit(esc.decode()))
+    html = F.concat(
+        F.lit(_PRE.decode()), body, F.lit(_POST.decode())
+    )
+    return F.encode(html, "UTF-8")
+
+
+def extract_text_py(html: Optional[bytes]) -> Optional[str]:
+    """Single-process reference extractor: bytes in, str out.
+
+    Returns None for unparseable payloads (missing markers / bad UTF-8)
+    — the corrupt-record path (analogue of parse_error,
+    reference validator.py:71-84).
+    """
+    if html is None:
+        return None
+    i = html.find(_PRE)
+    j = html.rfind(_POST)
+    if i < 0 or j < 0 or j < i + len(_PRE):
+        return None
+    body = html[i + len(_PRE): j]
+    for raw, esc in reversed(_ESCAPES):
+        body = body.replace(esc, raw)
+    try:
+        return body.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+
+
+@pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Arrow-batched extraction: one Python invocation per record
+    batch, byte-level work inside. Arrow hands binary columns to
+    pandas as ``bytes`` objects, so ``extract_text_py`` applies
+    unchanged and the bytes→str decode is explicit UTF-8."""
+    return html.map(extract_text_py, na_action="ignore")

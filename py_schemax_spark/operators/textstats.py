@@ -1,0 +1,139 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All JVM-side expressions (split / regexp / aggregate) — these run in
+the same whole-stage-codegen pass as the constraint predicates, so
+adding them to a validation scan is marginal-cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small built-in stopword lists per language for the n-gram/stopword
+# language-ID heuristic (public common-word lists).
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une"],
+    "es": ["el", "la", "los", "que", "es", "de", "un", "una", "para"],
+}
+
+_EN_STOPWORDS = _LANG_MARKERS["en"] + ["a", "an", "on", "as", "at", "by"]
+
+# BPE-ish token estimate: words + digit runs + punctuation marks each
+# count; long words contribute extra subword units per 4 chars.
+_WORD_RE = r"\s+"
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokens of trimmed text (empty string → empty array)."""
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, _WORD_RE)
+    )
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def bpe_token_estimate(c: Column) -> Column:
+    """Deterministic BPE-ish token-count estimate: one unit per
+    whitespace token plus one extra unit per full 4 chars beyond the
+    first 4 of each token (long words split into subwords), plus one
+    per punctuation mark."""
+    word_units = F.aggregate(
+        tokens(c),
+        F.lit(0),
+        lambda acc, w: acc + 1 + F.floor((F.length(w) - 1) / 4).cast("int"),
+    )
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return word_units + punct
+
+
+def stopword_ratio(c: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(w) for w in (stopwords or _EN_STOPWORDS)])
+    toks = tokens(F.lower(c))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(n > 0, F.round(hits / n, 4)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(c: Column) -> Column:
+    n = F.length(c)
+    p = n - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(n > 0, F.round(p / n, 4)).otherwise(F.lit(0.0))
+
+
+def quality_score(c: Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize too-short docs, low
+    stopword ratio (non-linguistic content), high punctuation density.
+    Deterministic, tunable; the point is the *shape* (pure column
+    expression usable inside the validation scan)."""
+    length_ok = F.least(F.length(c) / F.lit(200.0), F.lit(1.0))
+    sw = F.least(stopword_ratio(c) * 4, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - punct_ratio(c) * 5, F.lit(0.0))
+    return F.round((length_ok + sw + punct_pen) / 3, 4)
+
+
+def lang_id(c: Column) -> Column:
+    """Marker-word language ID: the language whose stopword markers hit
+    the most tokens; ``und`` (undetermined) when nothing hits. A cheap,
+    deterministic stand-in for a real classifier — shape and plumbing
+    (pure projection, no UDF) are what carry to production."""
+    toks = tokens(F.lower(c))
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(
+                    "hits"
+                ),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(c: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized,
+    lowercased text — the exact-dedup key, also usable as a stable
+    content id across recrawls."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+def rolling_fingerprints(c: Column, window: int = 8) -> Column:
+    """Winnowing-style rolling hashes: xxhash64 of each ``window``-token
+    shingle (array<long>); downstream min-sampling picks the document
+    signature. JVM-side only."""
+    toks = tokens(c)
+    n_sh = F.greatest(F.size(toks) - (window - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", F.slice(toks, i, window))
+        ),
+    )
+
+
+def text_profile(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """One-pass per-document text profile (the ``documents``-table
+    analytics entry point)."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(key_col),
+        token_count(c).alias("n_tokens"),
+        F.length(c).alias("n_chars_actual"),
+        bpe_token_estimate(c).alias("n_bpe_est"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        punct_ratio(c).alias("punct_ratio"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fp"),
+    )

@@ -1,0 +1,245 @@
+"""PlanCompiler: ConstraintSpec IR → vectorized Column expressions.
+
+This is the data-level analogue of the reference's one-time model
+compilation (``validator.py:99-101`` builds the Pydantic validator once
+per run, then reuses it per file): we compile each column's constraints
+into JVM-side ``Column`` predicates ONCE, and Catalyst evaluates all of
+them over every row in a single whole-stage-codegen'd projection —
+the equivalent of Pydantic collecting ALL errors per document
+(validator.py:106) rather than stopping at the first.
+
+Violation rows carry (constraint_id, observed, expected):
+
+- ``constraint_id`` = ``column.constraint`` (e.g. ``text.min_length``) —
+  the analogue of the reference's JSONPath error_at
+  (``$.columns[0].min_length``, validator.py:130-142)
+- ``expected`` = human-readable message built at compile time with
+  ``F.lit`` — the analogue of the message rewriting at
+  validator.py:144-180
+- ``observed`` = the offending value (stringified, truncated)
+
+Everything here is pure expression construction — no action, no UDF.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from py_schemax_spark.specs.model import ColumnSpec, TableSpec
+
+# Observed values are truncated so violation rows stay small even when
+# the offending column is a multi-KB document body.
+_OBSERVED_MAX_LEN = 256
+
+_SPARK_TYPE_NAME = {
+    "string": "string",
+    "integer": "bigint",
+    "float": "double",
+    "boolean": "boolean",
+    "date": "date",
+    "datetime": "timestamp",
+    "binary": "binary",
+}
+
+
+@dataclass(frozen=True)
+class RowConstraint:
+    """One compiled row-level constraint.
+
+    ``predicate`` is TRUE when the row VIOLATES the constraint (null
+    predicate = not applicable = no violation, so e.g. ``min_length``
+    does not double-report null values — those are ``nullable``'s job).
+    """
+
+    constraint_id: str
+    predicate: Column
+    observed: Column
+    expected: str
+
+
+def _obs(col: Column) -> Column:
+    return F.substring(col.cast("string"), 1, _OBSERVED_MAX_LEN)
+
+
+def _actual_type(df: DataFrame, name: str) -> T.DataType:
+    return df.schema[name].dataType
+
+
+def compile_row_constraints(
+    df: DataFrame, spec: TableSpec
+) -> list[RowConstraint]:
+    """Compile every row-expressible constraint in ``spec`` against the
+    actual schema of ``df``.
+
+    Set-wise constraints (unique/primary_key → operators/uniqueness.py,
+    references → operators/referential.py, drift → operators/drift.py)
+    are NOT produced here — they need shuffles/joins, not projections.
+    """
+    out: list[RowConstraint] = []
+    present = set(df.columns)
+    for cs in spec.columns:
+        if cs.name not in present:
+            # Missing column: constant-true violation on every row would
+            # be wasteful; surfaced instead by schema_conformance().
+            continue
+        c = F.col(cs.name)
+        actual = _actual_type(df, cs.name)
+        want = _SPARK_TYPE_NAME[cs.type]
+
+        # type conformance: when the physical column is a string but the
+        # spec declares a stronger type, every row must cast cleanly
+        # (schema-on-read mismatch, SURVEY.md §2.1 S5).
+        if isinstance(actual, T.StringType) and cs.type not in ("string", "binary"):
+            if cs.type == "date" and cs.format:
+                parsed = F.try_to_timestamp(c, F.lit(_to_spark_fmt(cs.format)))
+            elif cs.type == "datetime" and cs.format:
+                parsed = F.try_to_timestamp(c, F.lit(_to_spark_fmt(cs.format)))
+            else:
+                parsed = c.try_cast(want)
+            out.append(
+                RowConstraint(
+                    f"{cs.name}.type",
+                    c.isNotNull() & parsed.isNull(),
+                    _obs(c),
+                    f"value castable to {cs.type}",
+                )
+            )
+
+        if not cs.nullable:
+            out.append(
+                RowConstraint(
+                    f"{cs.name}.nullable",
+                    c.isNull(),
+                    F.lit(None).cast("string"),
+                    f"{cs.name} is not nullable",
+                )
+            )
+        if cs.min_length is not None:
+            out.append(
+                RowConstraint(
+                    f"{cs.name}.min_length",
+                    F.length(c) < cs.min_length,
+                    F.concat(F.lit("length="), F.length(c).cast("string")),
+                    f"length({cs.name}) >= {cs.min_length}",
+                )
+            )
+        if cs.max_length is not None:
+            out.append(
+                RowConstraint(
+                    f"{cs.name}.max_length",
+                    F.length(c) > cs.max_length,
+                    F.concat(F.lit("length="), F.length(c).cast("string")),
+                    f"length({cs.name}) <= {cs.max_length}",
+                )
+            )
+        if cs.pattern is not None:
+            out.append(
+                RowConstraint(
+                    f"{cs.name}.pattern",
+                    ~c.rlike(cs.pattern),
+                    _obs(c),
+                    f"{cs.name} matches /{cs.pattern}/",
+                )
+            )
+        if cs.minimum is not None:
+            out.append(
+                RowConstraint(
+                    f"{cs.name}.minimum",
+                    c < F.lit(cs.minimum),
+                    _obs(c),
+                    f"{cs.name} >= {cs.minimum}",
+                )
+            )
+        if cs.maximum is not None:
+            out.append(
+                RowConstraint(
+                    f"{cs.name}.maximum",
+                    c > F.lit(cs.maximum),
+                    _obs(c),
+                    f"{cs.name} <= {cs.maximum}",
+                )
+            )
+        if cs.precision is not None and cs.type == "float":
+            out.append(
+                RowConstraint(
+                    f"{cs.name}.precision",
+                    F.abs(c - F.round(c, cs.precision)) > F.lit(1e-9),
+                    _obs(c),
+                    f"{cs.name} has at most {cs.precision} decimal places",
+                )
+            )
+    return out
+
+
+def _to_spark_fmt(fmt: str) -> str:
+    """strptime-style → Spark datetime pattern (reference specs use
+    strptime-style formats, e.g. USAGE.md examples)."""
+    table = {
+        "%Y": "yyyy", "%m": "MM", "%d": "dd",
+        "%H": "HH", "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%z": "XX",
+    }
+    out = fmt
+    for k, v in table.items():
+        out = out.replace(k, v)
+    return out
+
+
+def violation_struct_array(constraints: list[RowConstraint]) -> Column:
+    """ALL constraints evaluated in one projection: an array of
+    (constraint_id, observed, expected) structs, null-compacted.
+
+    This is the whole-file error collection of the reference (Pydantic
+    gathers every error per document) expressed as a single codegen'd
+    expression — one pass over the data regardless of constraint count.
+    """
+    elems = [
+        F.when(
+            rc.predicate,
+            F.struct(
+                F.lit(rc.constraint_id).alias("constraint_id"),
+                rc.observed.cast("string").alias("observed"),
+                F.lit(rc.expected).alias("expected"),
+            ),
+        )
+        for rc in constraints
+    ]
+    if not elems:
+        return F.array().cast(
+            "array<struct<constraint_id:string,observed:string,expected:string>>"
+        )
+    return F.array_compact(F.array(*elems))
+
+
+def schema_conformance(df: DataFrame, spec: TableSpec) -> list[dict]:
+    """Driver-side structural check of the physical schema vs the spec —
+    the analogue of extra_forbidden / missing at the document level
+    (models.py extra="forbid"; validator messages 144-180).
+
+    Returns a list of error dicts (type, error_at, message); empty = ok.
+    """
+    errs: list[dict] = []
+    spec_cols = {c.name for c in spec.columns}
+    present = set(df.columns)
+    for cs in spec.columns:
+        if cs.name not in present:
+            errs.append(
+                {
+                    "type": "missing",
+                    "error_at": f"$.{cs.name}",
+                    "message": f"Column '{cs.name}' is required but missing.",
+                }
+            )
+    for name in df.columns:
+        if name not in spec_cols:
+            errs.append(
+                {
+                    "type": "extra_forbidden",
+                    "error_at": f"$.{name}",
+                    "message": f"Column '{name}' is not declared in the spec.",
+                }
+            )
+    return errs

@@ -1,0 +1,120 @@
+"""Verdict assembly: violation merge + per-partition pass/fail summary.
+
+- merge = ``unionByName`` of violation DataFrames (the analogue of
+  merge_validation_outputs, reference py_schemax/utils.py:21-41:
+  AND of valid, concat of errors, sum of error_count)
+- summary = per-partition aggregation (analogue of Summary,
+  reference py_schemax/summary.py:4-25: validated/valid/invalid
+  counters + failing list), keyed by the table's physical partition
+  value (e.g. ``days(warc_ts)``) so verdicts line up with the
+  checkpoint manifest's per-partition lineage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_violations(*parts: DataFrame) -> DataFrame:
+    """unionByName of violation DataFrames (first column = row key —
+    name may differ between tables; subsequent parts are renamed to the
+    first part's key column so the union is well-typed)."""
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        raise ValueError("no violation DataFrames to merge")
+    key = parts[0].columns[0]
+    renamed = [
+        p if p.columns[0] == key else p.withColumnRenamed(p.columns[0], key)
+        for p in parts
+    ]
+    return reduce(lambda a, b: a.unionByName(b), renamed)
+
+
+def partition_summary(
+    df: DataFrame,
+    violations: DataFrame,
+    partition_expr=None,
+) -> DataFrame:
+    """Per-partition pass/fail: ``(part, row_count, violation_count,
+    violating_keys, valid)``.
+
+    ``partition_expr`` defaults to ``to_date(warc_ts)`` when present
+    (the day-partitioned Iceberg layout), else a single global bucket.
+    ``violations`` must carry a ``part`` column (operators propagate it
+    when given ``partition_col``); when absent, violation counts are
+    global.
+    """
+    if partition_expr is None:
+        if "warc_ts" in df.columns:
+            partition_expr = F.to_date("warc_ts").cast("string")
+        else:
+            partition_expr = F.lit("all")
+    rows = df.groupBy(partition_expr.alias("part")).agg(
+        F.count(F.lit(1)).alias("row_count")
+    )
+    if "part" in violations.columns:
+        v = violations.groupBy(F.col("part").cast("string").alias("part")).agg(
+            F.count(F.lit(1)).alias("violation_count"),
+            F.approx_count_distinct(violations.columns[0]).alias(
+                "violating_keys"
+            ),
+        )
+    else:
+        v = violations.agg(
+            F.count(F.lit(1)).alias("violation_count"),
+            F.approx_count_distinct(violations.columns[0]).alias(
+                "violating_keys"
+            ),
+        ).withColumn("part", F.lit("all"))
+    return (
+        rows.join(v, "part", "left")
+        .na.fill({"violation_count": 0, "violating_keys": 0})
+        .withColumn("valid", F.col("violation_count") == 0)
+        .orderBy("part")
+    )
+
+
+@dataclass
+class RunSummary:
+    """Driver-side run totals — the analogue of the reference's Summary
+    counters (summary.py:4-25)."""
+
+    total_partitions: int = 0
+    valid_partitions: int = 0
+    invalid_partitions: int = 0
+    total_rows: int = 0
+    total_violations: int = 0
+    failed_parts: list = field(default_factory=list)
+
+    @classmethod
+    def from_partition_summary(cls, summary_rows) -> "RunSummary":
+        s = cls()
+        for r in summary_rows:
+            s.total_partitions += 1
+            s.total_rows += r["row_count"]
+            s.total_violations += r["violation_count"]
+            if r["valid"]:
+                s.valid_partitions += 1
+            else:
+                s.invalid_partitions += 1
+                s.failed_parts.append(r["part"])
+        return s
+
+    @property
+    def valid(self) -> bool:
+        return self.invalid_partitions == 0
+
+    def to_dict(self) -> dict:
+        return {
+            "valid": self.valid,
+            "total_partitions": self.total_partitions,
+            "valid_partitions": self.valid_partitions,
+            "invalid_partitions": self.invalid_partitions,
+            "total_rows": self.total_rows,
+            "total_violations": self.total_violations,
+            "failed_parts": sorted(map(str, self.failed_parts)),
+        }

@@ -1,0 +1,176 @@
+"""End-to-end CLI golden tests — the analogue of the reference's
+tests/test_cmd_validate.py (CliRunner invocations, exit codes, ✅/❌
+counts in text mode, parsed JSON-lines in json mode, env/config
+precedence, rule selection)."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from py_schemax_spark.cli import accept_paths_from_stdin, build_parser, main
+from py_schemax_spark.config import resolve_config
+from py_schemax_spark.output import Output
+from py_schemax_spark.runner import RunConfig, ValidationRun
+from py_schemax_spark.sources.datagen import gen_pages, write_pages
+
+SPEC_YAML = """\
+fqn: warehouse.pages
+key: url
+columns:
+  - name: url
+    type: string
+    nullable: false
+    unique: true
+    pattern: "^https?://"
+  - name: warc_ts
+    type: datetime
+    nullable: false
+  - name: html
+    type: binary
+  - name: text
+    type: string
+    min_length: 1
+    nullable: false
+  - name: lang
+    type: string
+  - name: day
+    type: date
+"""
+
+
+@pytest.fixture(scope="module")
+def table_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli") / "pages"
+    write_pages(spark, str(d), 1500)
+    return str(d)
+
+
+@pytest.fixture()
+def spec_file(tmp_path):
+    p = tmp_path / "pages_spec.yaml"
+    p.write_text(SPEC_YAML)
+    return str(p)
+
+
+def _main(spark, argv):
+    return main(argv, spark=spark)
+
+
+def test_exit_1_on_dirty_table(spark, table_dir, spec_file, capsys):
+    code = _main(
+        spark,
+        ["validate", table_dir, "--spec", spec_file, "--check",
+         "schema,rows,uniqueness", "--order-col", "warc_ts"],
+    )
+    assert code == 1
+    out = capsys.readouterr().out
+    assert "❌" in out
+
+
+def test_fail_never_exits_zero(spark, table_dir, spec_file, capsys):
+    code = _main(
+        spark,
+        ["validate", table_dir, "--spec", spec_file, "--fail-never",
+         "--check", "schema,rows"],
+    )
+    assert code == 0
+    assert "fail_mode=never" in capsys.readouterr().err
+
+
+def test_json_output_parses(spark, table_dir, spec_file, capsys):
+    code = _main(
+        spark,
+        ["validate", table_dir, "--spec", spec_file,
+         "--output-format", "json", "--check", "schema,rows"],
+    )
+    assert code == 1
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    objs = [json.loads(ln) for ln in lines]
+    kinds = {o["kind"] for o in objs}
+    assert "summary" in kinds and "partition" in kinds
+    summary = [o for o in objs if o["kind"] == "summary"][0]
+    assert summary["valid"] is False
+    assert summary["total_violations"] > 0
+
+
+def test_silent_prints_nothing(spark, table_dir, spec_file, capsys):
+    code = _main(
+        spark,
+        ["validate", table_dir, "--spec", spec_file, "--silent",
+         "--check", "schema,rows"],
+    )
+    assert code == 1
+    assert capsys.readouterr().out == ""
+
+
+def test_invalid_spec_exits_1(spark, table_dir, tmp_path, capsys):
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"fqn": "x", "columns": [{"name": "a",
+                                                        "type": "nope"}]}))
+    code = _main(spark, ["validate", table_dir, "--spec", str(bad)])
+    assert code == 1
+    assert "not a supported type" in capsys.readouterr().err
+
+
+def test_missing_spec_file_exits_1(spark, table_dir, tmp_path, capsys):
+    code = _main(
+        spark, ["validate", table_dir, "--spec", str(tmp_path / "nope.yaml")]
+    )
+    assert code == 1
+    assert "does not exist" in capsys.readouterr().err
+
+
+def test_no_tables_exits_2(spark, spec_file, monkeypatch):
+    monkeypatch.setattr("sys.stdin", io.StringIO(""))
+    code = _main(spark, ["validate", "--spec", spec_file])
+    assert code == 2
+
+
+def test_stdin_paths(monkeypatch):
+    # args win over stdin; blank lines skipped (reference utils.py:9-18)
+    monkeypatch.setattr("sys.stdin", io.StringIO("a\n\nb\n"))
+    assert accept_paths_from_stdin([]) == ["a", "b"]
+    assert accept_paths_from_stdin(["x"]) == ["x"]
+
+
+# --- config precedence (C4; reference tests test_cmd_validate.py:509-934) --
+
+
+def test_env_beats_toml_and_flag_beats_env(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "schemax.toml").write_text(
+        "[validate]\nfail_mode = 'never'\noutput_level = 'verbose'\n"
+    )
+    cfg = resolve_config({})
+    assert cfg.fail_mode == "never" and cfg.output_level == "verbose"
+
+    monkeypatch.setenv("SCHEMAX_SPARK_VALIDATE_FAIL_MODE", "fast")
+    cfg = resolve_config({})
+    assert cfg.fail_mode == "fast"  # env > toml
+    assert cfg.output_level == "verbose"  # toml survives where env absent
+
+    cfg = resolve_config({"fail_mode": "after"})
+    assert cfg.fail_mode == "after"  # flag > env
+
+
+def test_pyproject_toml_section(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "pyproject.toml").write_text(
+        "[tool.schemax_spark.validate]\noutput_format = 'json'\n"
+    )
+    cfg = resolve_config({})
+    assert cfg.output_format == "json"
+
+
+def test_invalid_config_value_raises():
+    with pytest.raises(ValueError):
+        resolve_config({"fail_mode": "sometimes"})
+
+
+def test_checks_parsing():
+    cfg = resolve_config({"checks": "schema, rows", "skip": "rows"})
+    assert cfg.checks == ("schema", "rows")
+    assert cfg.skip == ("rows",)

@@ -1,0 +1,263 @@
+"""Operator unit tests on tiny hand-built DataFrames with EXACT
+violation-row assertions — the data-level analogue of the reference's
+exact-TypedDict assertions (tests/test_validator.py:88-351)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_schemax_spark.operators.referential import referential_violations
+from py_schemax_spark.operators.stats import column_stats
+from py_schemax_spark.operators.uniqueness import (
+    duplicate_keys,
+    uniqueness_violations,
+)
+from py_schemax_spark.operators.violations import row_violations
+from py_schemax_spark.plans.compiler import schema_conformance
+from py_schemax_spark.specs.loader import validate_spec_dict
+
+
+def _spec(doc):
+    res = validate_spec_dict(doc)
+    assert res.valid, res.errors
+    return res.spec
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_row_violations_exact(spark):
+    df = spark.createDataFrame(
+        [
+            ("k1", "hello", 5),       # clean
+            ("k2", "", 5),            # min_length
+            ("k3", None, 5),          # nullable
+            ("k4", "ok", 99),         # maximum
+            ("k5", "x" * 10, -1),     # max_length + minimum
+        ],
+        ["id", "s", "n"],
+    )
+    spec = _spec(
+        {
+            "fqn": "t",
+            "key": "id",
+            "columns": [
+                {"name": "id", "type": "string"},
+                {"name": "s", "type": "string", "nullable": False,
+                 "min_length": 1, "max_length": 8},
+                {"name": "n", "type": "integer", "minimum": 0, "maximum": 50},
+            ],
+        }
+    )
+    got = _rows(row_violations(df, spec))
+    assert got == sorted(
+        [
+            ("k2", "s.min_length", "length=0", "length(s) >= 1"),
+            ("k3", "s.nullable", None, "s is not nullable"),
+            ("k4", "n.maximum", "99", "n <= 50"),
+            ("k5", "s.max_length", "length=10", "length(s) <= 8"),
+            ("k5", "n.minimum", "-1", "n >= 0"),
+        ]
+    )
+
+
+def test_pattern_and_precision(spark):
+    df = spark.createDataFrame(
+        [("k1", "https://a", 1.25), ("k2", "ftp://b", 1.234)],
+        ["id", "u", "f"],
+    )
+    spec = _spec(
+        {
+            "fqn": "t",
+            "key": "id",
+            "columns": [
+                {"name": "id", "type": "string"},
+                {"name": "u", "type": "string", "pattern": "^https?://"},
+                {"name": "f", "type": "float", "precision": 2},
+            ],
+        }
+    )
+    got = _rows(row_violations(df, spec))
+    assert ("k2", "u.pattern", "ftp://b", "u matches /^https?://:") not in got
+    assert any(g[:2] == ("k2", "u.pattern") for g in got)
+    assert any(g[:2] == ("k2", "f.precision") for g in got)
+    assert not any(g[0] == "k1" for g in got)
+
+
+def test_type_conformance_on_string_column(spark):
+    # physical string column declared integer → per-row castability
+    df = spark.createDataFrame(
+        [("k1", "42"), ("k2", "abc"), ("k3", None)], ["id", "v"]
+    )
+    spec = _spec(
+        {
+            "fqn": "t",
+            "key": "id",
+            "columns": [
+                {"name": "id", "type": "string"},
+                {"name": "v", "type": "integer"},
+            ],
+        }
+    )
+    got = _rows(row_violations(df, spec))
+    assert got == [("k2", "v.type", "abc", "value castable to integer")]
+
+
+def test_datetime_format_conformance(spark):
+    df = spark.createDataFrame(
+        [("k1", "2024-01-02 03:04:05"), ("k2", "01/02/2024")], ["id", "ts"]
+    )
+    spec = _spec(
+        {
+            "fqn": "t",
+            "key": "id",
+            "columns": [
+                {"name": "id", "type": "string"},
+                {"name": "ts", "type": "datetime",
+                 "format": "%Y-%m-%d %H:%M:%S"},
+            ],
+        }
+    )
+    got = _rows(row_violations(df, spec))
+    assert [g[:2] for g in got] == [("k2", "ts.type")]
+
+
+def test_uniqueness_attribution_first_wins(spark):
+    # same url twice: the LATER (by order col) row is the violation —
+    # reference semantics validator.py:207-220 made deterministic
+    df = spark.createDataFrame(
+        [
+            ("u1", 10, "a"),
+            ("u1", 20, "b"),   # violation (later)
+            ("u2", 5, "c"),
+            ("u3", 1, "d"),
+            ("u3", 0, "e"),    # u3@1 is the violation (0 is first)
+        ],
+        ["url", "ts", "payload"],
+    )
+    spec = _spec(
+        {
+            "fqn": "t",
+            "key": "url",
+            "columns": [
+                {"name": "url", "type": "string", "unique": True},
+                {"name": "ts", "type": "integer"},
+                {"name": "payload", "type": "string"},
+            ],
+        }
+    )
+    got = _rows(uniqueness_violations(df, spec, order_col="ts"))
+    assert [g[:3] for g in got] == [
+        ("u1", "url.unique", "u1"),
+        ("u3", "url.unique", "u3"),
+    ]
+    dups = {r["url"]: r["dup_count"] for r in duplicate_keys(df, "url").collect()}
+    assert dups == {"u1": 2, "u3": 2}
+
+
+def test_referential_broadcast_anti_join(spark):
+    df = spark.createDataFrame(
+        [("k1", "en"), ("k2", "zz"), ("k3", None)], ["id", "lang"]
+    )
+    dim = spark.createDataFrame([("en",), ("de",)], ["lang"])
+    spec = _spec(
+        {
+            "fqn": "t",
+            "key": "id",
+            "columns": [
+                {"name": "id", "type": "string"},
+                {"name": "lang", "type": "string",
+                 "references": {"table": "lang_dim", "column": "lang"}},
+            ],
+        }
+    )
+    got = _rows(referential_violations(df, spec, {"lang_dim": dim}))
+    # null lang is NOT a referential violation (nullable's job)
+    assert got == [("k2", "lang.references", "zz", "lang in lang_dim.lang")]
+    # missing dimension is a config error, not a data verdict
+    with pytest.raises(KeyError):
+        referential_violations(df, spec, {}).collect()
+
+
+def test_referential_plan_is_broadcast(spark):
+    df = spark.createDataFrame([("k1", "en")], ["id", "lang"])
+    dim = spark.createDataFrame([("en",)], ["lang"])
+    spec = _spec(
+        {
+            "fqn": "t", "key": "id",
+            "columns": [
+                {"name": "id", "type": "string"},
+                {"name": "lang", "type": "string",
+                 "references": {"table": "lang_dim", "column": "lang"}},
+            ],
+        }
+    )
+    plan = referential_violations(df, spec, {"lang_dim": dim})._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan  # no shuffle of the fact side
+
+
+def test_column_stats_exact_values(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("b", None), (None, 4)],
+        "s string, n bigint",
+    )
+    spec = _spec(
+        {
+            "fqn": "t",
+            "columns": [
+                {"name": "s", "type": "string"},
+                {"name": "n", "type": "integer"},
+            ],
+        }
+    )
+    stats = {
+        (r["column"], r["metric"]): r["value"]
+        for r in column_stats(df, spec, exact_distinct=True).collect()
+    }
+    assert stats[("s", "count")] == "3"
+    assert stats[("s", "null_count")] == "1"
+    assert stats[("s", "distinct")] == "2"
+    assert stats[("s", "min")] == "a" and stats[("s", "max")] == "b"
+    assert stats[("n", "sum")] == "7"
+    assert stats[("n", "null_count")] == "1"
+
+
+def test_salted_stats_match_plain(spark, pages, pages_spec):
+    plain = {
+        (r["column"], r["metric"]): r["value"]
+        for r in column_stats(pages, pages_spec).collect()
+    }
+    salted = {
+        (r["column"], r["metric"]): r["value"]
+        for r in column_stats(pages, pages_spec, salt=8).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        if k[1] == "distinct":
+            # both HLL-approximate — tolerance, not equality
+            assert abs(float(plain[k]) - float(salted[k])) <= max(
+                4.0, 0.1 * float(plain[k])
+            ), (k, plain[k], salted[k])
+        else:
+            assert plain[k] == salted[k], (k, plain[k], salted[k])
+
+
+def test_schema_conformance_missing_and_extra(spark):
+    df = spark.createDataFrame([("a", 1)], ["s", "surprise"])
+    spec = _spec(
+        {
+            "fqn": "t",
+            "columns": [
+                {"name": "s", "type": "string"},
+                {"name": "gone", "type": "integer"},
+            ],
+        }
+    )
+    errs = schema_conformance(df, spec)
+    kinds = {(e["type"], e["error_at"]) for e in errs}
+    assert ("missing", "$.gone") in kinds
+    assert ("extra_forbidden", "$.surprise") in kinds
