@@ -77,6 +77,7 @@ PAGES_SPEC = validate_spec_dict(
     {
         "fqn": "warehouse.pages",
         "key": "url",
+        "extraction": {"source": "html", "target": "text"},
         "columns": [
             {"name": "url", "type": "string", "nullable": False,
              "unique": True, "pattern": "^https?://"},
@@ -309,6 +310,71 @@ def q_top_event_by_user(spark, sf_dir):
     )
 
 
+def q_hourly_events(spark, sf_dir):
+    """Event-time windowed aggregation (batch twin of the streaming
+    windowed-violation-counts operator): events per hour per type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"),
+                          "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_orders_by_nation_segment(spark, sf_dir):
+    """Shuffle join (both sides large → sort-merge/shuffled-hash, AQE
+    decides) + multi-key aggregation: order counts per customer
+    nation."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(cust.hint("shuffle_merge"),
+                    orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )
+
+
+def q_top_orders(spark, sf_dir):
+    """Global top-k (TopK sort pushdown): 10 largest orders,
+    deterministic tie-break on key."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "total_cents"
+            ),
+        )
+        .orderBy(F.col("total_cents").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_top_tokens(spark, sf_dir):
+    """explode + groupBy + top-k: 20 most frequent tokens across the
+    corpus (deterministic tie-break on token)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
 def q_token_counts(spark, sf_dir):
     """Text analysis: whitespace token count + BPE-ish estimate."""
     d = _docs(spark, sf_dir)
@@ -437,6 +503,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_event_by_user": q_top_event_by_user,
+        "hourly_events": q_hourly_events,
+        "orders_by_nation_segment": q_orders_by_nation_segment,
+        "top_orders": q_top_orders,
+        "top_tokens": q_top_tokens,
         "token_counts": q_token_counts,
         "stopword_bp": q_stopword_bp,
         "fingerprint": q_fingerprint,
@@ -616,6 +686,40 @@ SELECT user_id, event_type, cnt FROM (
 ) WHERE rn = 1
 """
 
+    hourly_events_sql = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+    orders_nation_sql = """
+SELECT c_nationkey, o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey, o_orderstatus
+"""
+
+    top_orders_sql = """
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders
+ORDER BY total_cents DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+    top_tokens_sql = r"""
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY cnt DESC, token ASC
+LIMIT 20
+"""
+
     token_counts_sql = r"""
 SELECT doc_id,
        len(string_split_regex(trim(text), '\s+')) AS n_tokens,
@@ -666,6 +770,10 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         "pricing_summary": pricing_sql,
         "revenue_by_nation": revenue_nation_sql,
         "top_event_by_user": top_event_sql,
+        "hourly_events": hourly_events_sql,
+        "orders_by_nation_segment": orders_nation_sql,
+        "top_orders": top_orders_sql,
+        "top_tokens": top_tokens_sql,
         "token_counts": token_counts_sql,
         "stopword_bp": stopword_sql,
         "fingerprint": fingerprint_sql,

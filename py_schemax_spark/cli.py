@@ -26,6 +26,7 @@ from typing import Optional
 from py_schemax_spark.config import resolve_config
 from py_schemax_spark.output import Output
 from py_schemax_spark.runner import RunConfig, ValidationRun
+from py_schemax_spark.sources.readers import read_table
 from py_schemax_spark.specs.loader import load_spec
 
 
@@ -42,6 +43,31 @@ def accept_paths_from_stdin(args_paths: list[str]) -> list[str]:
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="py-schemax-spark")
     sub = p.add_subparsers(dest="command", required=True)
+
+    # check-specs: the reference CLI surface itself (schemax validate
+    # over schema-definition files, cli.py:78-258) — validates spec
+    # FILES: parse, structure, unique fqn, dependency existence, cycles
+    c = sub.add_parser("check-specs", help="validate constraint-spec files")
+    c.add_argument("specs", nargs="*", help="spec file paths (or stdin)")
+    cfm = c.add_mutually_exclusive_group()
+    cfm.add_argument("--fail-after", dest="fail_mode", action="store_const",
+                     const="after")
+    cfm.add_argument("--fail-fast", dest="fail_mode", action="store_const",
+                     const="fast")
+    cfm.add_argument("--fail-never", dest="fail_mode", action="store_const",
+                     const="never")
+    c.add_argument("--output-format", choices=("text", "json"), default=None)
+    clv = c.add_mutually_exclusive_group()
+    clv.add_argument("--silent", dest="output_level", action="store_const",
+                     const="silent")
+    clv.add_argument("--quiet", dest="output_level", action="store_const",
+                     const="quiet")
+    clv.add_argument("--verbose", dest="output_level", action="store_const",
+                     const="verbose")
+    c.add_argument("--required-attributes", default=None)
+    c.add_argument("--column-required-attributes", default=None)
+    c.set_defaults(fail_mode=None, output_level=None)
+
     v = sub.add_parser("validate", help="validate table(s) against a spec")
     v.add_argument("tables", nargs="*", help="parquet table paths (or stdin)")
     v.add_argument("--spec", required=True, help="constraint spec file")
@@ -70,6 +96,8 @@ def build_parser() -> argparse.ArgumentParser:
     lv.add_argument("--verbose", dest="output_level", action="store_const",
                     const="verbose")
     v.add_argument("--checkpoint-dir", default=None)
+    v.add_argument("--output-dir", default=None,
+                   help="persist violations parquet + summary.json here")
     v.add_argument("--salt", type=int, default=None)
     v.add_argument("--order-col", default=None)
     v.add_argument("--required-attributes", default=None)
@@ -79,8 +107,78 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def check_specs_main(ns) -> int:
+    """Spec-file validation loop — the reference's sequential per-file
+    pipeline (cli.py:254-256): load+structure check, then unique-FQN
+    and dependency checks fed into run-global state, cycle check at
+    the end; per-file ✅/❌ or JSON lines; fail modes as C1."""
+    import json as _json
+
+    from py_schemax_spark.specs.depgraph import SpecSetValidator
+
+    cfg = resolve_config(
+        {
+            "output_format": ns.output_format,
+            "output_level": ns.output_level,
+            "fail_mode": ns.fail_mode,
+            "required_attributes": ns.required_attributes,
+            "column_required_attributes": ns.column_required_attributes,
+        }
+    )
+    paths = accept_paths_from_stdin(ns.specs)
+    if not paths:
+        print("no spec paths given (args or stdin)", file=sys.stderr)
+        return 2
+    setval = SpecSetValidator()
+    any_invalid = False
+    results = []
+    for p in paths:
+        res = load_spec(
+            p,
+            required_attributes=cfg.required_attributes,
+            column_required_attributes=cfg.column_required_attributes,
+        )
+        if res.valid:
+            res = setval.validate_unique_fqn(res)
+        if res.valid:
+            res = setval.validate_dependencies(res)
+        results.append(res)
+        if not res.valid:
+            any_invalid = True
+        if cfg.output_level != "silent":
+            if res.valid and cfg.output_level != "verbose":
+                pass
+            elif cfg.output_format == "json":
+                print(_json.dumps(res.to_dict()))
+            else:
+                icon = "✅" if res.valid else "❌"
+                print(f"{icon} {p}")
+                for e in res.errors:
+                    print(f"  ↳ {e.error_at}: {e.message}")
+        if not res.valid and cfg.fail_mode == "fast":
+            return 1
+    cycle_errors = setval.validate_no_cycles()
+    for e in cycle_errors:
+        any_invalid = True
+        if cfg.output_level != "silent":
+            if cfg.output_format == "json":
+                print(_json.dumps(
+                    {"type": e.type, "error_at": e.error_at,
+                     "message": e.message}
+                ))
+            else:
+                print(f"❌ {e.message}")
+    if any_invalid and cfg.fail_mode == "never":
+        print("spec validation failed (exit suppressed by fail_mode=never)",
+              file=sys.stderr)
+        return 0
+    return 1 if any_invalid else 0
+
+
 def main(argv: Optional[list[str]] = None, spark=None) -> int:
     ns = build_parser().parse_args(argv)
+    if ns.command == "check-specs":
+        return check_specs_main(ns)
     cfg = resolve_config(
         {
             "output_format": ns.output_format,
@@ -134,11 +232,26 @@ def main(argv: Optional[list[str]] = None, spark=None) -> int:
             salt=cfg.salt,
         )
         worst = 0
-        for t in tables:
-            df = spark.read.parquet(t)
+        for i, t in enumerate(tables):
+            df = read_table(spark, t)
             run = ValidationRun(spark, spec_result.spec, dims, baseline, rc)
             result = run.run(df, source=t)
             out.print_result(result)
+            if ns.output_dir:
+                # S8 result sink: violations parquet + summary manifest
+                import json as _json
+                from pathlib import Path as _P
+
+                vdir = f"{ns.output_dir}/violations_{i}"
+                result.violations.write.mode("overwrite").parquet(vdir)
+                _P(ns.output_dir).mkdir(parents=True, exist_ok=True)
+                with open(f"{ns.output_dir}/summary_{i}.json", "w") as f:
+                    _json.dump(
+                        {"table": t, **result.run_summary.to_dict(),
+                         "drift": result.drift,
+                         "schema_errors": result.schema_errors},
+                        f, default=str, indent=2,
+                    )
             code = out.end_control(result, cfg.fail_mode)
             worst = max(worst, code)
             if code != 0 and cfg.fail_mode == "fast":

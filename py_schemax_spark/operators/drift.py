@@ -95,10 +95,18 @@ def merge_sketches(
             {"sketch": [merged.to_bytes()], "n": [int(pdf["n"].sum())]}
         )
 
+    # plan the number of merge rounds from the partition count — no
+    # count() actions (each would be a full Spark job); each round
+    # reduces row count by ~fan, so rounds = ceil(log_fan(#partitions))
+    import math
+
+    n = max(sketches.rdd.getNumPartitions(), 1)
+    rounds = 0
+    while n > fan:
+        rounds += 1
+        n = math.ceil(n / fan)
     cur = sketches
-    # each round reduces row count by ~fan; loop is log_fan(#partitions)
-    # driver-side iterations (tiny DataFrames after round 1)
-    while cur.count() > fan:
+    for _ in range(rounds):
         cur = (
             cur.withColumn(
                 "_b", F.pmod(F.xxhash64("sketch"), F.lit(fan))

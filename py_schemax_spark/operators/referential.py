@@ -53,9 +53,10 @@ def referential_violations(
                 f"column '{cs.name}' references unknown dimension "
                 f"'{ref.table}' — available: {sorted(dims)}"
             )
-        dim = dims[ref.table].select(
-            F.col(ref.column).alias("_dim_value")
-        ).distinct()
+        # no .distinct(): anti-join semantics are unaffected by duplicate
+        # keys on the build side, and dropping it removes the only
+        # exchange in the whole plan (the dim fits one broadcast block)
+        dim = dims[ref.table].select(F.col(ref.column).alias("_dim_value"))
         cid = f"{cs.name}.references"
         parts.append(
             df.select(key, cs.name, *pcol)

@@ -38,6 +38,7 @@ def row_violations(
     spec: TableSpec,
     key_col: str | None = None,
     partition_expr=None,
+    extra_constraints: list | None = None,
 ) -> DataFrame:
     """All row-expressible constraint violations as
     ``(<key>, constraint_id, observed, expected[, part])``.
@@ -46,9 +47,14 @@ def row_violations(
     for documents) so downstream joins/sinks stay natural.
     ``partition_expr`` (a Column) propagates the physical-partition
     value as a ``part`` column for per-partition verdicts.
+    ``extra_constraints`` lets the runner FUSE additional row-local
+    RowConstraints (extraction invariant, literal-dim referential)
+    into this same single-scan projection.
     """
     key = key_col or spec.key_column
-    constraints = compile_row_constraints(df, spec)
+    constraints = compile_row_constraints(df, spec) + list(
+        extra_constraints or []
+    )
     arr = violation_struct_array(constraints)
     part = (
         [partition_expr.cast("string").alias("part")]

@@ -175,6 +175,70 @@ def compile_row_constraints(
     return out
 
 
+def extraction_constraint(spec: TableSpec) -> RowConstraint | None:
+    """Extraction invariant as a RowConstraint, so it can fuse into the
+    same single-scan projection as every other row check."""
+    if spec.extraction is None:
+        return None
+    from py_schemax_spark.functions.extraction import extract_text_udf
+
+    src, tgt = spec.extraction.source, spec.extraction.target
+    extracted = extract_text_udf(F.col(src))
+    return RowConstraint(
+        f"{src}.extraction",
+        ~extracted.eqNullSafe(F.col(tgt)),
+        F.substring(F.coalesce(extracted, F.lit("<unextractable>")), 1, 256),
+        f"extract({src}) == {tgt} (byte-identical)",
+    )
+
+
+#: referential dims at or below this cardinality compile to a literal
+#: IN-list predicate (fuses into the row projection, removing even the
+#: broadcast-join stage); larger dims use the broadcast anti-join.
+LITERAL_DIM_MAX = 1000
+
+
+def referential_literal_constraints(
+    df: DataFrame, spec: TableSpec, dims: dict[str, DataFrame]
+) -> tuple[list[RowConstraint], list]:
+    """Split referential checks: (literal-isin RowConstraints for tiny
+    dims, remaining ColumnSpecs needing the anti-join path).
+
+    A tiny dimension's values are collected once on the driver and
+    folded into the compiled plan as an IN-list — the check becomes a
+    row-local predicate in the SAME scan as everything else: zero
+    joins, zero extra stages. (The data-scale analogue of the
+    reference compiling its validator once per run,
+    validator.py:99-101.)"""
+    literal: list[RowConstraint] = []
+    remaining = []
+    for cs in spec.columns:
+        if cs.references is None or cs.name not in df.columns:
+            continue
+        ref = cs.references
+        if ref.table not in dims:
+            raise KeyError(
+                f"column '{cs.name}' references unknown dimension "
+                f"'{ref.table}' — available: {sorted(dims)}"
+            )
+        dim = dims[ref.table]
+        head = dim.select(ref.column).limit(LITERAL_DIM_MAX + 1).collect()
+        if len(head) > LITERAL_DIM_MAX:
+            remaining.append(cs)
+            continue
+        values = [r[0] for r in head if r[0] is not None]
+        c = F.col(cs.name)
+        literal.append(
+            RowConstraint(
+                f"{cs.name}.references",
+                c.isNotNull() & ~c.isin(values),
+                _obs(c),
+                f"{cs.name} in {ref.table}.{ref.column}",
+            )
+        )
+    return literal, remaining
+
+
 def _to_spark_fmt(fmt: str) -> str:
     """strptime-style → Spark datetime pattern (reference specs use
     strptime-style formats, e.g. USAGE.md examples)."""

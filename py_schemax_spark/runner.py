@@ -47,7 +47,9 @@ from py_schemax_spark.verdict import RunSummary, merge_violations, partition_sum
 #: registry order — the analogue of VALIDATORS_IN_ORDER
 #: (reference rulesets.py:17-21); DEFAULT_CHECKS mirrors the default
 #: rule set (rulesets.py:24) extended with the data-level classes.
-ALL_CHECKS = ("schema", "rows", "uniqueness", "referential", "drift")
+ALL_CHECKS = (
+    "schema", "rows", "extraction", "uniqueness", "referential", "drift"
+)
 DEFAULT_CHECKS = ALL_CHECKS
 
 EXIT_OK = 0
@@ -64,6 +66,10 @@ class RunConfig:
     salt: int = 1  # salted stats pass
     drift_compression: float = 200.0
     drift_fan: int = 32
+    # fuse extraction + tiny-dim referential into the rows projection
+    # (one scan instead of three); disabled under fail_mode="fast",
+    # which needs per-class short-circuit order
+    fuse_row_checks: bool = True
 
     @property
     def enabled(self) -> tuple[str, ...]:
@@ -134,6 +140,12 @@ class ValidationRun:
         key = self.spec.key_column
         if name == "rows":
             return row_violations(df, self.spec, partition_expr=part)
+        if name == "extraction":
+            from py_schemax_spark.operators.extraction_check import (
+                extraction_violations,
+            )
+
+            return extraction_violations(df, self.spec, partition_expr=part)
         if name == "uniqueness":
             return uniqueness_violations(
                 df, self.spec, order_col=self.config.order_col,
@@ -157,6 +169,44 @@ class ValidationRun:
         checks_run: list[str] = []
         failed_early = False
 
+        # fused single-scan path: extraction + literal-dim referential
+        # checks compile into the SAME projection as the row constraints
+        # (one scan instead of three). fail_fast keeps per-class order,
+        # so fusion is disabled there.
+        fused: set[str] = set()
+        extra_constraints: list = []
+        if (
+            cfg.fuse_row_checks
+            and cfg.fail_mode != "fast"
+            and "rows" in enabled
+        ):
+            from py_schemax_spark.plans.compiler import (
+                extraction_constraint,
+                referential_literal_constraints,
+            )
+
+            if "extraction" in enabled and self.spec.extraction is not None:
+                ec = extraction_constraint(self.spec)
+                if ec is not None:
+                    extra_constraints.append(ec)
+                    fused.add("extraction")
+            if "referential" in enabled:
+                lits, remaining = referential_literal_constraints(
+                    df, self.spec, self.dims
+                )
+                extra_constraints.extend(lits)
+                if not remaining:
+                    fused.add("referential")
+                # big dims (if any) still run the anti-join path; the
+                # operator re-derives its own column list, so fused
+                # literal dims would double-report — only fuse when ALL
+                # referenced dims are literal-sized
+                if remaining and lits:
+                    extra_constraints = [
+                        c for c in extra_constraints
+                        if not c.constraint_id.endswith(".references")
+                    ]
+
         for name in enabled:
             if failed_early:
                 break
@@ -167,7 +217,21 @@ class ValidationRun:
                 # doesn't structurally match the table stops everything.
                 if schema_errors:
                     break
-            elif name in ("rows", "uniqueness", "referential"):
+            elif name == "extraction" and self.spec.extraction is None:
+                continue
+            elif name in fused:
+                checks_run.append(name)  # ran inside the rows projection
+                continue
+            elif name == "rows":
+                checks_run.append(name)
+                v = row_violations(
+                    df, self.spec, partition_expr=part,
+                    extra_constraints=extra_constraints,
+                )
+                parts.append(v)
+                if cfg.fail_mode == "fast" and not v.isEmpty():
+                    failed_early = True
+            elif name in ("extraction", "uniqueness", "referential"):
                 checks_run.append(name)
                 v = self._class_violations(name, df, part)
                 parts.append(v)
@@ -226,7 +290,7 @@ class ValidationRun:
     #: uninterrupted run (SURVEY.md §7 hard-point (e)). The re-run is
     #: cheap relative to the local pass: uniqueness scans only
     #: (key, order) columns; drift scans one numeric expression.
-    LOCAL_CHECKS = ("schema", "rows", "referential")
+    LOCAL_CHECKS = ("schema", "rows", "extraction", "referential")
     GLOBAL_CHECKS = ("uniqueness", "drift")
 
     def _run_with_checkpoint(self, df: DataFrame, source: str) -> RunResult:

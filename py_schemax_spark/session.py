@@ -32,9 +32,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode = driver-only JVM: the heap must hold every
+        # concurrent task's agg/sort state; an undersized heap makes
+        # MORE cores SLOWER (GC thrash) — observed 32-thread runs 2×
+        # slower than 8-thread until raised
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.sql.debug.maxToStringFields", "2000")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -31,6 +31,7 @@ from py_schemax_spark.specs.model import (
     TYPE_ATTRS,
     ColumnSpec,
     DriftSpec,
+    ExtractionSpec,
     ReferenceSpec,
     SpecError,
     SpecValidationResult,
@@ -108,7 +109,7 @@ def validate_spec_dict(
 
     top_allowed = {
         "fqn", "name", "description", "version", "columns", "metadata",
-        "tags", "depends_on", "dependents", "key",
+        "tags", "depends_on", "dependents", "key", "extraction",
     }
     for k in data:
         if k not in top_allowed:
@@ -225,6 +226,14 @@ def validate_spec_dict(
             )
         )
 
+    extraction = data.get("extraction")
+    if extraction is not None and not isinstance(extraction, dict):
+        errors.append(
+            SpecError("model_type", "$.extraction",
+                      _msg_type("extraction", "mapping"))
+        )
+        extraction = None
+
     if errors:
         return SpecValidationResult(
             file_path=file_path, valid=False, errors=tuple(errors)
@@ -240,6 +249,12 @@ def validate_spec_dict(
         depends_on=tuple(data.get("depends_on") or ()),
         dependents=tuple(data.get("dependents") or ()),
         key=data.get("key"),
+        extraction=ExtractionSpec(
+            source=extraction.get("source", "html"),
+            target=extraction.get("target", "text"),
+        )
+        if extraction is not None
+        else None,
     )
     return SpecValidationResult(file_path=file_path, valid=True, spec=spec)
 

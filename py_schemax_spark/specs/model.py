@@ -114,6 +114,15 @@ class ColumnSpec:
 
 
 @dataclass(frozen=True)
+class ExtractionSpec:
+    """Byte-identical extraction invariant (BASELINE.json input_hint):
+    ``extract(source) == target`` per row, via the Arrow pandas UDF."""
+
+    source: str = "html"
+    target: str = "text"
+
+
+@dataclass(frozen=True)
 class TableSpec:
     """Analogue of DatasetSchema (reference schema/models.py:112-150):
     fqn/name/description/version/columns/metadata/tags/depends_on."""
@@ -130,6 +139,8 @@ class TableSpec:
     # key column used to attribute row-level violations (the reference
     # attributes errors to file_path; we attribute to a row key, e.g. url)
     key: Optional[str] = None
+    # per-row extraction invariant (html → text), None = not checked
+    extraction: Optional[ExtractionSpec] = None
 
     def column(self, name: str) -> ColumnSpec:
         for c in self.columns:

@@ -25,6 +25,7 @@ def spark():
 PAGES_SPEC_DOC = {
     "fqn": "warehouse.pages",
     "key": "url",
+    "extraction": {"source": "html", "target": "text"},
     "columns": [
         {"name": "url", "type": "string", "nullable": False, "unique": True,
          "pattern": "^https?://", "max_length": 2048},

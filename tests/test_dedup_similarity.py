@@ -1,0 +1,225 @@
+"""Training-pipeline operator tests: dedup family, similarity search,
+text analysis, multimodal plumbing, streaming validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_schemax_spark.operators.dedup import (
+    exact_dedup_keep_first,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_bits,
+    simhash_hex,
+    simhash_near_duplicates,
+)
+from py_schemax_spark.operators.multimodal import fake_decode, image_metadata
+from py_schemax_spark.operators.similarity import (
+    all_pairs_above_np,
+    brute_force_topk,
+    lsh_topk,
+    similarity_pairs_above,
+)
+from py_schemax_spark.operators.textstats import text_profile
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+        (3, "THE  Quick brown fox jumps over the lazy dog near the river bank"),  # dup after normalize
+        (4, "the quick brown fox jumps over the lazy dog near the creek bank"),  # near dup (1 word)
+        (5, "completely different content about spark dataframes and shuffles"),
+        (6, "another unrelated document mentioning benchmarks and latency data"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_exact_duplicates_and_keep_first(corpus):
+    groups = exact_duplicates(corpus, key_col="doc_id").collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["keeper"] == 1 and g["n_copies"] == 3
+    survivors = {
+        r["doc_id"] for r in exact_dedup_keep_first(corpus, key_col="doc_id").collect()
+    }
+    assert survivors == {1, 4, 5, 6}
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(corpus):
+    cand = minhash_lsh_candidates(
+        corpus, key_col="doc_id", num_hashes=64, bands=16
+    )
+    pairs = {(r["key_a"], r["key_b"]) for r in cand.collect()}
+    # exact dups always agree on every band
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    # near dup should collide on at least one band with 16 bands × 4 rows
+    assert (1, 4) in pairs or (2, 4) in pairs
+    # unrelated docs must not flood in
+    assert (5, 6) not in pairs
+
+
+def test_ngram_jaccard_verification(corpus):
+    cand = minhash_lsh_candidates(
+        corpus, key_col="doc_id", num_hashes=64, bands=16
+    ).select("key_a", "key_b")
+    verified = ngram_jaccard_pairs(
+        corpus, cand, key_col="doc_id", threshold=0.8
+    )
+    rows = {(r["key_a"], r["key_b"]): r["jaccard"] for r in verified.collect()}
+    assert rows[(1, 2)] == 1.0  # identical
+    assert rows[(1, 3)] == 1.0  # identical after normalization
+    if (1, 4) in rows:  # near-dup passes 0.8 with one word changed
+        assert 0.8 <= rows[(1, 4)] < 1.0
+
+
+def test_simhash_properties(spark, corpus):
+    fps = {
+        r["doc_id"]: (r["hex"], r["bits"])
+        for r in corpus.select(
+            "doc_id",
+            simhash_hex(simhash_bits(F.col("text"))).alias("hex"),
+            simhash_bits(F.col("text")).alias("bits"),
+        ).collect()
+    }
+    assert fps[1][0] == fps[2][0] == fps[3][0]  # identical content
+    assert len(fps[1][0]) == 16
+    # near-dup within small hamming; unrelated far apart
+    def ham(a, b):
+        return sum(x != y for x, y in zip(fps[a][1], fps[b][1]))
+
+    assert ham(1, 4) <= 12
+    assert ham(1, 5) > 12
+
+    near = simhash_near_duplicates(corpus, key_col="doc_id", max_hamming=12)
+    pairs = {(r["key_a"], r["key_b"]) for r in near.collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert (5, 6) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(0, 1, (40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # 40..43: near-copies of 0..3 (tiny noise → cosine ≈ 1)
+    for j in range(4):
+        noisy = base[j] + rng.normal(0, 0.01, 16)
+        rows.append((40 + j, [float(x) for x in noisy]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+
+
+def test_brute_force_topk_finds_planted_neighbors(vectors):
+    queries = vectors.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(vectors, queries, k=1)
+    got = {r["query_id"]: r["vec_id"] for r in top.collect()}
+    assert got == {0: 40, 1: 41, 2: 42, 3: 43}
+
+
+def test_lsh_topk_recall_on_planted_neighbors(vectors):
+    queries = vectors.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = lsh_topk(vectors, queries, dim=16, k=1, n_planes=6)
+    got = {r["query_id"]: r["vec_id"] for r in top.collect()}
+    # near-identical vectors share every hyperplane sign → same bucket;
+    # LSH must recover all planted neighbors
+    assert got == {0: 40, 1: 41, 2: 42, 3: 43}
+
+
+def test_all_pairs_np_matches_expression_path(vectors):
+    np_pairs = {
+        (r["key_a"], r["key_b"]): r["sim"]
+        for r in all_pairs_above_np(vectors, threshold=0.9).collect()
+    }
+    expr_pairs = {
+        (r["key_a"], r["key_b"]): r["sim"]
+        for r in similarity_pairs_above(vectors, threshold=0.9).collect()
+    }
+    assert set(np_pairs) == set(expr_pairs)
+    assert set(np_pairs) == {(0, 40), (1, 41), (2, 42), (3, 43)}
+    for k, v in expr_pairs.items():
+        assert abs(np_pairs[k] - v) < 1e-3  # expr path rounds to 4
+
+
+def test_text_profile_shape_and_sanity(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox, it jumps!"),
+            (2, "zzz qqq xxx"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    prof = {r["doc_id"]: r.asDict() for r in text_profile(df).collect()}
+    assert prof[1]["n_tokens"] == 6
+    assert prof[1]["punct_ratio"] > 0
+    assert prof[1]["stopword_ratio"] > 0
+    assert prof[1]["lang_pred"] == "en"
+    assert prof[2]["lang_pred"] == "und"
+    assert prof[2]["quality"] < prof[1]["quality"] or prof[1]["quality"] > 0.3
+    assert prof[3]["n_tokens"] == 0
+    assert len(prof[1]["fp"]) == 32
+
+
+def test_image_metadata_plumbing(spark):
+    payloads = [("k1", b"\x01\x02\x03\x04payload-bytes"), ("k2", None),
+                ("k3", b"other-bytes-here")]
+    df = spark.createDataFrame(payloads, ["url", "html"])
+    meta = {r["key"]: r.asDict() for r in image_metadata(df).collect()}
+    assert set(meta) == {"k1", "k3"}  # null payload skipped
+    w, h, c, px = fake_decode(payloads[0][1])
+    assert meta["k1"]["width"] == w and meta["k1"]["height"] == h
+    assert meta["k1"]["n_bytes"] == len(payloads[0][1])
+    assert abs(meta["k1"]["mean_intensity"] - float(px.mean())) < 1e-9
+
+
+def test_streaming_windowed_violations(spark, pages_spec, tmp_path):
+    """Structured Streaming: same constraints, availableNow trigger,
+    memory sink; counts must match the batch run."""
+    from py_schemax_spark.sources.datagen import gen_pages
+    from py_schemax_spark.streaming.validate_stream import (
+        windowed_violation_counts,
+    )
+
+    src = str(tmp_path / "stream_src")
+    batch_df = gen_pages(spark, 1000)
+    batch_df.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    counts = windowed_violation_counts(
+        stream, pages_spec, window_duration="6 hours", watermark="1 hour"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("viol_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT constraint_id, sum(violation_count) AS n FROM viol_counts "
+        "GROUP BY constraint_id"
+    ).collect()
+    stream_totals = {r["constraint_id"]: r["n"] for r in got}
+
+    from py_schemax_spark.operators.violations import row_violations
+
+    batch_totals = {
+        r["constraint_id"]: r["count"]
+        for r in row_violations(spark.read.parquet(src), pages_spec)
+        .groupBy("constraint_id")
+        .count()
+        .collect()
+    }
+    assert stream_totals == batch_totals

@@ -1,0 +1,117 @@
+"""Physical-plan quality gates — the 100 TB concerns, asserted on
+`.explain` output so regressions that silently de-optimize the plan
+(lost pushdown, lost pruning, accidental shuffle) fail CI.
+
+(SURVEY.md §4.2: pushdown/pruning/codegen/broadcast are free ONLY if
+the plan stays declarative — these tests pin that.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_schemax_spark.operators.referential import referential_violations
+from py_schemax_spark.operators.stats import column_stats
+from py_schemax_spark.operators.violations import row_violations
+from py_schemax_spark.sources.datagen import gen_pages
+from py_schemax_spark.sources.readers import partition_predicate
+from py_schemax_spark.specs.loader import validate_spec_dict
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    gen_pages(spark, 2000).withColumn("day", F.to_date("warc_ts")) \
+        .write.partitionBy("day").mode("overwrite").parquet(path)
+    return path
+
+
+def test_row_violations_prunes_unconstrained_columns(spark, pages_parquet):
+    """The scan must NOT read `html` (the dominant bytes) when no
+    constraint touches it — column pruning reaching the parquet reader."""
+    spec = validate_spec_dict(
+        {
+            "fqn": "t", "key": "url",
+            "columns": [
+                {"name": "url", "type": "string", "nullable": False},
+                {"name": "text", "type": "string", "min_length": 1},
+            ],
+        }
+    ).spec
+    df = spark.read.parquet(pages_parquet)
+    plan = _plan(row_violations(df, spec))
+    scan_line = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan_line, plan
+    assert "html" not in scan_line[0]
+    assert "url" in scan_line[0] and "text" in scan_line[0]
+
+
+def test_partition_predicate_prunes_at_scan(spark, pages_parquet):
+    df = spark.read.parquet(pages_parquet).filter(
+        partition_predicate({"day": ["2024-01-01"]})
+    )
+    plan = _plan(df.select("url"))
+    # partition filters appear as PartitionFilters on the scan node
+    assert "PartitionFilters" in plan
+    assert "2024-01-01" in plan or "19723" in plan  # date literal or epoch-day
+
+
+def test_value_filter_pushed_to_parquet(spark, pages_parquet):
+    df = spark.read.parquet(pages_parquet).filter(F.col("lang") == "en")
+    plan = _plan(df.select("url", "lang"))
+    assert "PushedFilters" in plan
+    assert "IsNotNull(lang)" in plan or "EqualTo(lang,en)" in plan
+
+
+def test_referential_is_broadcast_no_fact_shuffle(spark, pages_parquet, lang_dim):
+    spec = validate_spec_dict(
+        {
+            "fqn": "t", "key": "url",
+            "columns": [
+                {"name": "url", "type": "string"},
+                {"name": "lang", "type": "string",
+                 "references": {"table": "lang_dim", "column": "lang"}},
+            ],
+        }
+    ).spec
+    df = spark.read.parquet(pages_parquet)
+    plan = _plan(referential_violations(df, spec, {"lang_dim": lang_dim}))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    # zero shuffles anywhere: fact side probes the broadcast in place
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_stats_is_single_scan_partial_agg(spark, pages_parquet, pages_spec):
+    df = spark.read.parquet(pages_parquet)
+    plan = _plan(column_stats(df, pages_spec))
+    # exactly one FileScan: all metrics in one pass
+    assert plan.count("FileScan") == 1
+    # partial + final aggregation (map-side combine before the merge;
+    # Spark picks Hash/Sort/ObjectHashAggregate by aggregate kinds)
+    assert "Aggregate" in plan, plan
+
+
+def test_row_violations_no_shuffle(spark, pages_parquet, pages_spec):
+    """Row constraints are partition-local: the plan must contain NO
+    exchange at all."""
+    df = spark.read.parquet(pages_parquet)
+    plan = _plan(row_violations(df, pages_spec))
+    assert "Exchange" not in plan, plan
+
+
+def test_uniqueness_single_shuffle(spark, pages_parquet, pages_spec):
+    from py_schemax_spark.operators.uniqueness import uniqueness_violations
+
+    df = spark.read.parquet(pages_parquet)
+    plan = _plan(uniqueness_violations(df, pages_spec, order_col="warc_ts"))
+    # one hash exchange for the window partitioning, nothing more
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -80,6 +80,30 @@ def test_schema_gate_stops_everything(spark, pages_spec, lang_dim):
     assert res.violations.count() == 0
 
 
+def test_extraction_check_class(spark, pages, pages_spec, lang_dim):
+    """The extraction invariant runs as a first-class check: corrupt
+    html rows (and only those) are flagged ``html.extraction``."""
+    res = _run(
+        spark, pages, pages_spec, {"lang_dim": lang_dim},
+        checks=("schema", "extraction"),
+    )
+    assert res.checks_run == ("schema", "extraction")
+    rows = res.violations.collect()
+    assert rows, "seeded corrupt html must be flagged"
+    assert all(r["constraint_id"] == "html.extraction" for r in rows)
+    from py_schemax_spark.functions.extraction import extract_text_py
+
+    flagged = {r["url"] for r in rows}
+    # flagged set == rows where python reference extraction disagrees
+    ref_mismatch = {
+        r["url"]
+        for r in pages.select("url", "html", "text").collect()
+        if (extract_text_py(bytes(r["html"])) if r["html"] is not None else None)
+        != r["text"]
+    }
+    assert flagged == ref_mismatch
+
+
 def test_per_partition_summary(spark, pages, pages_spec, lang_dim):
     res = _run(spark, pages, pages_spec, {"lang_dim": lang_dim})
     parts = {r["part"] for r in res.summary_rows}
