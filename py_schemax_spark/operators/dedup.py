@@ -20,8 +20,13 @@ All hashing is xxhash64/md5 JVM-side; per-row Python appears nowhere.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 
 def _norm_text(c) -> F.Column:
@@ -84,12 +89,11 @@ def minhash_signature(shingle_col, num_hashes: int = 64) -> F.Column:
     """K independent minhashes: min over shingles of xxhash64(shingle,
     seed_i). Array of K longs, all JVM expressions.
 
-    ONE traversal of the shingle array: per shingle compute all K
-    hashes, fold with an element-wise ``least`` into the running
-    minimum vector. (The naive form — K separate
-    ``array_min(transform(...))`` — inlines the shingle subexpression
-    K times; higher-order functions are interpreted, so that K-fold
-    recomputation was a ~100× slowdown at bench scale.)"""
+    REFERENCE PATH ONLY (used by tests as a semantic twin): Catalyst
+    evaluates higher-order functions interpreted and re-evaluates the
+    child array expression per element, so this form is quadratic in
+    shingle count when composed over ``shingles()``. The production
+    path is ``minhash_signatures`` (Arrow/numpy)."""
     long_max = (1 << 63) - 1
     init = F.array_repeat(F.lit(long_max).cast("long"), num_hashes)
 
@@ -100,6 +104,104 @@ def minhash_signature(shingle_col, num_hashes: int = 64) -> F.Column:
         shingle_col,
         init,
         lambda acc, s: F.zip_with(acc, hashes_of(s), lambda a, b: F.least(a, b)),
+    )
+
+
+_POLY_B = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+
+
+def _shingle_codes(text: str, n: int) -> np.ndarray:
+    """Distinct byte-level n-gram codes of one normalized text as
+    uint64: polynomial rolling code sum(byte_j * B^(n-1-j)) mod 2^64 —
+    injective for n <= 8 (B > 255 and no wraparound within a window's
+    significant bits matters only for collision rate, which the
+    multiply-shift family downstream absorbs)."""
+    raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if raw.size < n:
+        raw = np.pad(raw, (0, n - raw.size))
+    win = np.lib.stride_tricks.sliding_window_view(raw, n).astype(np.uint64)
+    pows = _POLY_B ** np.arange(n - 1, -1, -1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        codes = (win * pows[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(codes)
+
+
+def shingle_codes_udf(n: int = 5):
+    """Arrow UDF: normalized text → sorted distinct ``array<long>``
+    shingle codes (the numpy path of ``shingles``; used by minhash and
+    the Jaccard verifier so both agree on the shingle universe)."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def codes(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_shingle_codes(t, n).view(np.int64) for t in texts]
+        )
+
+    return codes
+
+
+def _minhash_family(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic multiply-shift family params: K odd multipliers and
+    K offsets in uint64 (h_i(x) = a_i*x + b_i mod 2^64)."""
+    rng = np.random.default_rng(0x5CE3A)
+    a = rng.integers(1, 1 << 63, size=num_hashes, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def minhash_udf(num_hashes: int = 64, shingle_n: int = 5):
+    """Arrow-vectorized minhash: normalized text → ``array<long>``
+    K-wide signature, one batch at a time. Per row, shingle codes are a
+    strided numpy window product; the K-family derivation for the WHOLE
+    batch is one (K × total_shingles) multiply-add mod 2^64 broadcast
+    followed by a segmented ``minimum.reduceat``.
+
+    Everything upstream of this UDF stays JVM-side (scan, normalize);
+    the interpreted-Catalyst alternative — higher-order ``transform``
+    over a nested array expression — re-evaluates the child array per
+    element (quadratic in shingle count) and measured >100× slower."""
+    a, b = _minhash_family(num_hashes)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        if len(texts) == 0:
+            return pd.Series([], dtype=object)
+        per_row = [_shingle_codes(t, shingle_n) for t in texts]
+        lengths = np.fromiter((c.size for c in per_row), dtype=np.int64,
+                              count=len(per_row))
+        flat = np.concatenate(per_row)
+        with np.errstate(over="ignore"):
+            derived = a[:, None] * flat[None, :] + b[:, None]
+        offsets = np.zeros(len(lengths), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        # empty rows can't occur: _shingle_codes pads to >= 1 window
+        mins = np.minimum.reduceat(derived, offsets, axis=1)
+        out = mins.view(np.int64).T
+        return pd.Series(list(out))
+
+    return sig
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """``(k, sig)`` minhash signatures via the Arrow path.
+
+    Partitioning: inherits the scan's natural splits (scale-correct —
+    a 100 TB table arrives in thousands of splits). Each Arrow task
+    carries fixed python-worker overhead (~0.1-0.3 s), so forcing a
+    high partition count on a small input multiplies overhead for no
+    gain; callers that DO need to spread a compute-heavy corpus from
+    few splits can ``df.repartition(n)`` beforehand."""
+    udf = minhash_udf(num_hashes, shingle_n)
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(key_col).alias("k"), F.col(text_col).alias("_t"))
+        .select("k", udf(_norm_text(F.col("_t"))).alias("sig"))
     )
 
 
@@ -122,31 +224,36 @@ def minhash_lsh_candidates(
     boilerplate.
     """
     rows_per_band = num_hashes // bands
-    # signatures are CPU-bound interpreted higher-order expressions —
-    # spread them across all cores even when the source has few input
-    # splits (a handful of parquet row-groups would otherwise serialize
-    # the whole corpus onto 1-2 tasks)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    banded = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.col(key_col).alias("k"), F.col(text_col).alias("_t"))
-        .repartition(par)
-        .select("k", minhash_signature(shingles(F.col("_t"), shingle_n), num_hashes).alias("sig"))
+    banded = minhash_signatures(
+        df, text_col=text_col, key_col=key_col,
+        num_hashes=num_hashes, shingle_n=shingle_n,
     )
+    # band structs are unrolled with int literals: a
+    # transform(sequence(...)) with a column-start slice is interpreted
+    # (non-codegen) and measured ~10× slower than this literal form
     band_hash = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band"),
-                F.xxhash64(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                ).alias("bucket"),
-            ),
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
         )
     )
     buckets = banded.select("k", band_hash.alias("bh")).select(
         "k", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket")
     )
+    # persist: the self-join would otherwise run the whole signature
+    # pipeline (scan → normalize → Arrow minhash) twice — at corpus
+    # scale that doubles the dominant cost. MEMORY_AND_DISK so a
+    # 10^12-doc bucket table spills instead of OOMing.
+    from pyspark import StorageLevel
+
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -173,12 +280,21 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Verification stage: exact n-gram Jaccard on candidate pairs.
     ``candidates`` = (key_a, key_b); joins the shingle sets back (two
-    co-partitioned joins) and computes |∩|/|∪| via array ops."""
-    par = df.sparkSession.sparkContext.defaultParallelism
+    co-partitioned joins) and computes |∩|/|∪| via array ops.
+
+    Shingle sets are numpy shingle CODES (same universe as minhash —
+    ``shingle_codes_udf``); the intersect/union runs JVM-side over the
+    materialized arrays (plain codegen'd expressions over attribute
+    references — no interpreted HOF re-evaluation)."""
+    from pyspark import StorageLevel
+
+    codes = shingle_codes_udf(shingle_n)
     sh = (
         df.select(F.col(key_col).alias("k"), F.col(text_col).alias("_t"))
-        .repartition(par)
-        .select("k", shingles(F.col("_t"), shingle_n).alias("sh"))
+        .select("k", codes(_norm_text(F.col("_t"))).alias("sh"))
+        # both join sides derive from this — persist so the shingle
+        # UDF pipeline runs once, not twice
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = sh.select(F.col("k").alias("key_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("k").alias("key_b"), F.col("sh").alias("sh_b"))
@@ -199,43 +315,63 @@ def ngram_jaccard_pairs(
 # --- SimHash -----------------------------------------------------------------
 
 
+@pandas_udf(T.ArrayType(T.IntegerType()))
+def _simhash_votes_udf(token_arrays: pd.Series) -> pd.Series:
+    """Arrow-vectorized per-bit majority vote: hash every token
+    (blake2b-8, memoized per batch — deterministic across workers,
+    unlike builtin ``hash``), unpack the batch's hashes into a
+    (total_tokens × 64) ±1 matrix, segmented-sum per row
+    (``add.reduceat``), sign → bit. Replaces an interpreted zip_with
+    fold that built a 64-wide array per token inside Catalyst's
+    interpreter."""
+    import hashlib
+
+    memo: dict[str, int] = {}
+
+    def h(tok: str) -> int:
+        v = memo.get(tok)
+        if v is None:
+            v = int.from_bytes(
+                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
+                "little",
+            )
+            memo[tok] = v
+        return v
+
+    lengths = np.fromiter((max(len(t), 1) for t in token_arrays),
+                          dtype=np.int64, count=len(token_arrays))
+    if len(lengths) == 0:
+        return pd.Series([], dtype=object)
+    flat = np.fromiter(
+        (h(tok) for toks in token_arrays
+         for tok in (toks if len(toks) else [""])),
+        dtype=np.uint64, count=int(lengths.sum()),
+    )
+    shifts = np.arange(64, dtype=np.uint64)
+    pm1 = (((flat[:, None] >> shifts[None, :]) & np.uint64(1))
+           .astype(np.int32) * 2 - 1)
+    offsets = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    votes = np.add.reduceat(pm1, offsets, axis=0)
+    bits = (votes > 0).astype(np.int32)
+    return pd.Series(list(bits))
+
+
 def simhash_bits(text_col, token_split: str = r"\s+") -> F.Column:
     """64-bit SimHash over whitespace tokens as an ``array<int>`` of 64
-    bits (index 0 = least significant), entirely JVM array expressions.
+    bits (index 0 = least significant).
 
-    Per-bit majority vote of token hashes (Charikar 2002): ONE pass
-    over the token array — the accumulator is the 64-long vote vector,
-    each token contributes ±1 per bit via ``zip_with`` — instead of 64
-    separate passes. Token weight = 1; term frequency folds in via
-    repeated tokens.
+    Per-bit majority vote of token hashes (Charikar 2002): tokenization
+    (``split``) stays JVM-side; hashing + the 64-bit unpack + vote is
+    one Arrow-vectorized numpy batch op. Token weight = 1; term
+    frequency folds in via repeated tokens.
 
     The fingerprint stays an array (not a packed long): chunk bucketing
     hashes slices of it and Hamming distance is an element-wise
     aggregate, so packing would only add sign-bit gymnastics.
     """
     tokens = F.split(_norm_text(text_col), token_split)
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    zero64 = F.array_repeat(F.lit(0).cast("long"), 64)
-
-    def bits_of(h):
-        # shift amounts must be int literals (shiftrightunsigned takes a
-        # Python int), so unroll the 64 bit positions
-        return F.array(
-            *[
-                F.when(
-                    F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) != 0,
-                    F.lit(1),
-                )
-                .otherwise(F.lit(-1))
-                .cast("long")
-                for i in range(64)
-            ]
-        )
-
-    votes = F.aggregate(
-        hashes, zero64, lambda acc, h: F.zip_with(acc, bits_of(h), lambda a, b: a + b)
-    )
-    return F.transform(votes, lambda v: F.when(v > 0, 1).otherwise(0))
+    return _simhash_votes_udf(tokens)
 
 
 def simhash_hex(bits_col) -> F.Column:
