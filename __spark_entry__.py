@@ -449,6 +449,18 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_topk(emb, queries, dim=64, k=10, n_planes=8)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k (rows-only; recall vs brute force asserted
+    in pytest — nprobe=n_lists degenerates to exact)."""
+    from py_schemax_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, dim=64, k=10, n_lists=16, nprobe=4)
+
+
 def q_minhash_candidates(spark, sf_dir):
     """MinHash+LSH near-dup candidates over the dup-injected corpus
     (rows-only; exact-dup pairs MUST appear — asserted in pytest).
@@ -514,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pairs": q_ann_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "minhash_candidates": q_minhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,

@@ -97,15 +97,20 @@ def hyperplane_bucket(
     pseudo-random hyperplanes. Plane components are deterministic
     ±1 derived from xxhash64(seed, plane, component) — no RNG state to
     ship, identical across executors/runs."""
+    import hashlib
+
+    def comp(p: int, i: int) -> float:
+        h = hashlib.blake2b(
+            f"{seed}:{p}:{i}".encode(), digest_size=2
+        ).digest()
+        return 1.0 if h[0] & 1 == 0 else -1.0
+
     plane_bits = []
     for p in range(n_planes):
-        comps = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.when(
-                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) == 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
+        # plane components are CONSTANT per (seed, plane, i) — derive
+        # them driver-side and fold them in as literals (constant-
+        # folded by Catalyst) instead of re-hashing per row
+        comps = F.array(*[F.lit(comp(p, i)) for i in range(dim)])
         proj = F.aggregate(
             F.zip_with(vec, comps, lambda x, c: x.cast("double") * c),
             F.lit(0.0),
@@ -151,6 +156,143 @@ def lsh_topk(
     )
     sim = (
         c.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity(F.col("vec"), F.col("qvec")), 4).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _assign_lists(
+    df: DataFrame, centroids, vec_col: str, out_col: str, nprobe: int = 1
+):
+    """Attach the id(s) of the ``nprobe`` nearest centroids (cosine) to
+    every row via one numpy matmul per Arrow batch. Returns df +
+    ``out_col`` (exploded → one row per probed list)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from typing import Iterator
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cmat = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    bc = df.sparkSession.sparkContext.broadcast(cmat)
+    fields = df.schema.fields + [
+        T.StructField(out_col, T.ArrayType(T.IntegerType()))
+    ]
+    out_schema = T.StructType(fields)
+    cols = [f.name for f in df.schema.fields]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        topn = min(nprobe, c.shape[0])
+        for pdf in batches:
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if m.size == 0:
+                pdf[out_col] = pd.Series([], dtype=object)
+                yield pdf
+                continue
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ c.T
+            # nprobe nearest lists, nearest first (argpartition + sort)
+            idx = np.argpartition(-sims, topn - 1, axis=1)[:, :topn]
+            order = np.take_along_axis(sims, idx, axis=1).argsort(axis=1)[:, ::-1]
+            probed = np.take_along_axis(idx, order, axis=1).astype(np.int32)
+            pdf[out_col] = pd.Series(list(probed))
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema)
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    iters: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is coarsely
+    quantized into ``n_lists`` inverted lists; each query probes its
+    ``nprobe`` nearest lists and computes exact cosine only there.
+
+    Deterministic throughout: coarse centroids start from the
+    ``n_lists`` corpus vectors with smallest ``xxhash64(id, seed)``
+    (an order-free pseudo-random sample) and are refined with
+    ``iters`` Lloyd steps where the per-list mean is a distributed
+    aggregation (``sum(element_at(vec, i))`` per dimension — dim agg
+    expressions, one shuffle of n_lists × dim scalars).
+
+    Scale shape: assignment is one numpy matmul per Arrow batch over a
+    broadcast (n_lists × dim) matrix — the corpus never shuffles; the
+    search join moves only rows in probed lists (≈ nprobe/n_lists of
+    the corpus per query batch). Returns (query_id, vec_id, sim, rank).
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    seeds = (
+        base.orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)))
+        .limit(n_lists)
+        .select("vec")
+        .collect()
+    )
+    centroids = [list(r["vec"]) for r in seeds]
+
+    for _ in range(max(iters, 0)):
+        assigned = _assign_lists(base, centroids, "vec", "_lists", nprobe=1)
+        assigned = assigned.select(
+            "vec", F.element_at("_lists", 1).alias("list_id")
+        )
+        sums = (
+            assigned.groupBy("list_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("vec", i + 1).cast("double")).alias(
+                        f"s{i}"
+                    )
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new_c = list(centroids)  # empty lists keep their old centroid
+        for r in sums:
+            new_c[r["list_id"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+        centroids = new_c
+
+    corpus = _assign_lists(base, centroids, "vec", "_lists", nprobe=1).select(
+        "vec_id", "vec", F.element_at("_lists", 1).alias("list_id")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    probes = _assign_lists(q, centroids, "qvec", "_lists", nprobe=nprobe).select(
+        "query_id", "qvec", F.explode("_lists").alias("list_id")
+    )
+    sim = (
+        corpus.join(F.broadcast(probes), "list_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -222,9 +364,16 @@ def all_pairs_above_np(
                 }
             )
 
+    # partition count sized to the corpus (known — it was collected for
+    # the broadcast): each Arrow task has fixed worker overhead, so a
+    # small corpus should not fan out to every core
+    par = max(
+        1,
+        min(df.sparkSession.sparkContext.defaultParallelism, len(ids) // 2000),
+    )
     pruned = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    ).repartition(par)
     return pruned.mapInPandas(compute, out_schema)
 
 

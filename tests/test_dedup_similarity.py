@@ -136,6 +136,22 @@ def test_lsh_topk_recall_on_planted_neighbors(vectors):
     assert got == {0: 40, 1: 41, 2: 42, 3: 43}
 
 
+def test_ivf_topk_recall_on_planted_neighbors(vectors):
+    from py_schemax_spark.operators.similarity import ivf_topk
+
+    queries = vectors.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # nprobe = n_lists → exhaustive probing: IVF must equal brute force
+    top = ivf_topk(vectors, queries, dim=16, k=1, n_lists=4, nprobe=4)
+    got = {r["query_id"]: r["vec_id"] for r in top.collect()}
+    assert got == {0: 40, 1: 41, 2: 42, 3: 43}
+    # near-copies land in the same list, so even nprobe=1 recovers them
+    top1 = ivf_topk(vectors, queries, dim=16, k=1, n_lists=4, nprobe=1)
+    got1 = {r["query_id"]: r["vec_id"] for r in top1.collect()}
+    assert got1 == {0: 40, 1: 41, 2: 42, 3: 43}
+
+
 def test_all_pairs_np_matches_expression_path(vectors):
     np_pairs = {
         (r["key_a"], r["key_b"]): r["sim"]
