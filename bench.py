@@ -153,7 +153,7 @@ def main() -> None:
     # long-lived production job never re-pays), then best-of-2 trials.
     run_validation_suite(spark, 50_000, baseline)  # warm-up
     trials = [run_validation_suite(spark, BENCH_ROWS, baseline)
-              for _ in range(2)]
+              for _ in range(3)]
     val = min(trials, key=lambda r: r["sec"])
     val["trials_sec"] = [t["sec"] for t in trials]
     out["validation"] = val
@@ -170,7 +170,7 @@ def main() -> None:
     queries = entrymod.queries()
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df: DataFrame = queries[name](spark, SF_DIR)
             df.count()

@@ -102,6 +102,12 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--order-col", default=None)
     v.add_argument("--required-attributes", default=None)
     v.add_argument("--column-required-attributes", default=None)
+    v.add_argument(
+        "--where", default=None,
+        help="SQL predicate applied at the scan (partition pruning: "
+             "e.g. \"day >= date'2024-01-02'\" prunes day partitions; "
+             "value predicates push down to parquet)",
+    )
     v.add_argument("--master", default=None, help="spark master override")
     v.set_defaults(fail_mode=None, output_level=None)
     return p
@@ -234,6 +240,10 @@ def main(argv: Optional[list[str]] = None, spark=None) -> int:
         worst = 0
         for i, t in enumerate(tables):
             df = read_table(spark, t)
+            if ns.where:
+                from pyspark.sql import functions as F
+
+                df = df.filter(F.expr(ns.where))
             run = ValidationRun(spark, spec_result.spec, dims, baseline, rc)
             result = run.run(df, source=t)
             out.print_result(result)

@@ -88,6 +88,51 @@ def image_metadata(
     return pruned.mapInPandas(extract, IMAGE_META_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target: tuple[int, int] = (8, 8),
+    key_col: str = "url",
+    payload_col: str = "html",
+    decoder=fake_decode,
+) -> DataFrame:
+    """Resize via ``mapInPandas``: decode (stubbed), nearest-neighbor
+    downsample with numpy index striding, re-emit raw pixel bytes.
+    The resize math is the real production shape (vectorized per
+    image, Arrow-batched across images); only the decode is fake."""
+    tw, th = target
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, payload in zip(pdf["k"], pdf["p"]):
+                if payload is None:
+                    continue
+                w, h, c, px = decoder(bytes(payload))
+                img = px[: w * h * c].reshape(h, w, c)
+                yi = (np.arange(th) * h) // th
+                xi = (np.arange(tw) * w) // tw
+                small = img[yi][:, xi]
+                rows.append((str(key), tw, th, small.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    pruned = df.select(
+        F.col(key_col).alias("k"), F.col(payload_col).alias("p")
+    )
+    return pruned.mapInPandas(work, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame,
     key_col: str = "url",

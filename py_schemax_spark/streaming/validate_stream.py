@@ -11,12 +11,13 @@ Design:
   identical verdict semantics batch vs stream);
 - event-time windowed violation counts with a watermark bound state
   for late data (``warc_ts`` is event time);
-- only stateless projections + windowed aggregation — no
-  ``applyInPandasWithState`` needed for the constraint classes that
-  are row-local. Set-wise checks (uniqueness/drift) stay batch jobs
-  over the table snapshot: uniqueness over an unbounded stream is
-  unbounded state by definition, and the table IS the queryable
-  history.
+- row-local constraint classes are stateless projections + windowed
+  aggregation; the one genuinely stateful streaming semantic —
+  first-seen-wins duplicate suppression — is a custom
+  ``applyInPandasWithState`` operator with watermark-bounded state
+  (``stateful_first_seen``). Unbounded cross-history checks
+  (uniqueness over all time, drift) stay batch jobs over the table
+  snapshot: the table IS the queryable history.
 
 Test/drive with ``trigger(availableNow=True)`` + a memory sink;
 production uses the same plan with a file/kafka source and a parquet
@@ -39,6 +40,77 @@ def stream_row_violations(
     compiled projection as the batch path (stateless, so it runs
     unchanged under Structured Streaming)."""
     return row_violations(stream_df, spec, key_col=key_col)
+
+
+def stateful_first_seen(
+    stream_df: DataFrame,
+    key_col: str = "url",
+    event_time_col: str = "warc_ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    emit each key's FIRST occurrence only — the streaming twin of
+    uniqueness attribution (first occurrence wins, later duplicates
+    suppressed), with state bounded by the event-time watermark.
+
+    State per key = the first-seen event time (epoch micros). An
+    event-time timeout expires state one watermark horizon after the
+    first sighting, so the state store holds only keys inside the
+    horizon — re-crawls beyond it are treated as fresh (by design: the
+    TABLE is the queryable history; unbounded cross-history uniqueness
+    is a batch job — see module docstring).
+
+    Returns ``(key, first_ts)`` in update mode.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("first_ts", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("first_us", T.LongType())]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        min_ts = None
+        for pdf in pdf_iter:
+            t = pdf[event_time_col].min()
+            if min_ts is None or t < min_ts:
+                min_ts = t
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if not state.exists and min_ts is not None:
+            first_us = int(pd.Timestamp(min_ts).value // 1000)
+            state.update((first_us,))
+            # expire one horizon past the watermark frontier
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(wm, first_us // 1000) + 1)
+            yield pd.DataFrame(
+                {"key": [key[0]], "first_ts": [pd.Timestamp(min_ts)]}
+            )
+        # seen already → suppress (no output)
+
+    return (
+        stream_df.withWatermark(event_time_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
 
 
 def windowed_violation_counts(

@@ -106,6 +106,21 @@ def test_silent_prints_nothing(spark, table_dir, spec_file, capsys):
     assert capsys.readouterr().out == ""
 
 
+def test_where_predicate_prunes_partitions(spark, table_dir, spec_file, capsys):
+    """--where restricts the scan (partition pruning on the day column):
+    the run summary covers only matching partitions."""
+    code = _main(
+        spark,
+        ["validate", table_dir, "--spec", spec_file,
+         "--where", "day = date'2024-01-01'", "--check", "rows",
+         "--verbose"],
+    )
+    lines = capsys.readouterr().out.strip().splitlines()
+    part_lines = [l for l in lines if "part=" in l]
+    assert len(part_lines) == 1 and "part=2024-01-01" in part_lines[0]
+    assert code in (0, 1)
+
+
 def test_invalid_spec_exits_1(spark, table_dir, tmp_path, capsys):
     bad = tmp_path / "bad.json"
     bad.write_text(json.dumps({"fqn": "x", "columns": [{"name": "a",

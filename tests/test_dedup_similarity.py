@@ -199,6 +199,66 @@ def test_image_metadata_plumbing(spark):
     assert abs(meta["k1"]["mean_intensity"] - float(px.mean())) < 1e-9
 
 
+def test_resize_images_plumbing(spark):
+    import numpy as np
+
+    from py_schemax_spark.operators.multimodal import (
+        fake_decode,
+        resize_images,
+    )
+
+    payloads = [("k1", b"\x10\x20\x30\x40image-ish-bytes"), ("k2", None)]
+    df = spark.createDataFrame(payloads, ["url", "html"])
+    out = {r["key"]: r.asDict() for r in resize_images(df, (4, 4)).collect()}
+    assert set(out) == {"k1"}
+    r = out["k1"]
+    assert (r["width"], r["height"]) == (4, 4)
+    w, h, c, px = fake_decode(payloads[0][1])
+    img = px[: w * h * c].reshape(h, w, c)
+    yi = (np.arange(4) * h) // 4
+    xi = (np.arange(4) * w) // 4
+    assert bytes(r["pixels"]) == img[yi][:, xi].tobytes()
+
+
+def test_streaming_stateful_first_seen(spark, tmp_path):
+    """applyInPandasWithState dedup: only the first occurrence of each
+    url is emitted; duplicates inside the stream are suppressed."""
+    import datetime as dt
+
+    from py_schemax_spark.streaming.validate_stream import stateful_first_seen
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("u1", t0),
+        ("u2", t0 + dt.timedelta(minutes=1)),
+        ("u1", t0 + dt.timedelta(minutes=5)),   # dup, later
+        ("u3", t0 + dt.timedelta(minutes=2)),
+        ("u2", t0 + dt.timedelta(minutes=30)),  # dup, later
+    ]
+    src = str(tmp_path / "dedup_src")
+    batch = spark.createDataFrame(rows, ["url", "warc_ts"])
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        stateful_first_seen(stream)
+        .writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["key"]: r["first_ts"]
+        for r in spark.sql("SELECT * FROM first_seen").collect()
+    }
+    assert set(got) == {"u1", "u2", "u3"}
+    assert got["u1"] == t0
+    assert got["u2"] == t0 + dt.timedelta(minutes=1)
+
+
 def test_streaming_windowed_violations(spark, pages_spec, tmp_path):
     """Structured Streaming: same constraints, availableNow trigger,
     memory sink; counts must match the batch run."""
