@@ -402,6 +402,40 @@ def q_stopword_bp(spark, sf_dir):
     )
 
 
+def q_sessions(spark, sf_dir):
+    """Gap-based sessionization (lag + cumulative-sum window chain):
+    a new session starts after a >30 min gap; per-user session and
+    event counts."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_s").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_punct_bp(spark, sf_dir):
+    """Quality scoring companion: punctuation density in basis points
+    (integer-exact floor)."""
+    d = _docs(spark, sf_dir)
+    n = F.length("text")
+    p = n - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))
+    return d.select(
+        "doc_id",
+        F.floor(p * 10000 / n).cast("long").alias("punct_bp"),
+        p.alias("n_punct"),
+        n.alias("n_chars_actual"),
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     """Document fingerprint (md5 of normalized text)."""
     return _docs(spark, sf_dir).select(
@@ -521,6 +555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": q_top_tokens,
         "token_counts": q_token_counts,
         "stopword_bp": q_stopword_bp,
+        "sessions": q_sessions,
+        "punct_bp": q_punct_bp,
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "ann_pairs": q_ann_pairs,
@@ -757,6 +793,30 @@ FROM (
 )
 """
 
+    sessions_sql = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER
+                     (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+)
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+    punct_bp_sql = r"""
+SELECT doc_id,
+       CAST(floor((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                  * 10000 / length(text)) AS BIGINT) AS punct_bp,
+       length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+         AS n_punct,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+
     fingerprint_sql = f"""
 SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
 """
@@ -789,6 +849,8 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         "top_tokens": top_tokens_sql,
         "token_counts": token_counts_sql,
         "stopword_bp": stopword_sql,
+        "sessions": sessions_sql,
+        "punct_bp": punct_bp_sql,
         "fingerprint": fingerprint_sql,
         "ann_pairs": ann_pairs_sql,
     }

@@ -186,10 +186,15 @@ def main() -> None:
     if RUN_SCALING:
         scaling = {"levels": [SCALE_N, SCALE_4N]}
         for n_cores in (SCALE_N, SCALE_4N):
-            s = _make_spark(f"local[{n_cores}]", n_cores)
+            # shuffle partitions FIXED across levels (like a real
+            # cluster, where sql.shuffle.partitions doesn't change with
+            # executor count): tying it to cores handicaps the N run
+            # with giant spill-prone partitions and fakes superlinear
+            # efficiency
+            s = _make_spark(f"local[{n_cores}]", 32)
             b = s.createDataFrame(baseline_rows, BASELINE_SCHEMA)
             run_validation_suite(s, 50_000, b)  # warm-up
-            trials = [run_validation_suite(s, SCALE_ROWS, b) for _ in range(2)]
+            trials = [run_validation_suite(s, SCALE_ROWS, b) for _ in range(3)]
             best = min(trials, key=lambda r: r["sec"])
             best["trials_sec"] = [t["sec"] for t in trials]
             scaling[f"local[{n_cores}]"] = best
