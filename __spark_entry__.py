@@ -444,8 +444,9 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    """Marker-word language-ID heuristic (rows-only: heuristic specific
-    to the engine, asserted against the lang column in pytest)."""
+    """Marker-word language-ID heuristic — oracled: the DuckDB twin
+    reproduces the same argmax-with-lexicographic-tie-break over the
+    same marker lists (generated from one shared dict)."""
     d = _docs(spark, sf_dir)
     return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
 
@@ -463,9 +464,10 @@ def q_ann_pairs(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
-    """Brute-force cosine top-k vs a query set (rows-only: rank order
-    near FP ties is engine-specific; pair-set parity is covered by
-    q_ann_pairs)."""
+    """Brute-force cosine top-k vs a query set — oracled: both engines
+    rank by the 4-decimal-rounded similarity with a vec_id tie-break,
+    so rank order is deterministic and identical (verified empirically
+    at sf0.001/sf0.01 on the deterministic driver data)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -821,6 +823,42 @@ FROM documents
 SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
 """
 
+    ann_topk_sql = """
+SELECT query_id, vec_id, sim, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 4) AS sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                 CAST(q.embedding AS DOUBLE[])), 4)
+                    DESC, c.vec_id ASC) AS rank
+  FROM embeddings c
+  JOIN embeddings q ON q.vec_id < 3 AND c.vec_id != q.vec_id
+) WHERE rank <= 10
+"""
+
+    from py_schemax_spark.operators.textstats import _LANG_MARKERS
+
+    score_parts = []
+    for lang, markers in _LANG_MARKERS.items():
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        score_parts.append(
+            f"SELECT doc_id, '{lang}' AS lang_c, "
+            f"len(list_filter(t, x -> x IN ({inlist}))) AS hits FROM toks"
+        )
+    lang_id_sql = (
+        r"WITH toks AS (SELECT doc_id, "
+        r"string_split_regex(trim(lower(text)), '\s+') AS t FROM documents), "
+        "scores AS (" + " UNION ALL ".join(score_parts) + "), "
+        "best AS (SELECT doc_id, lang_c, hits, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY hits DESC, lang_c DESC) AS rn "
+        "FROM scores) "
+        "SELECT b.doc_id, d.lang, "
+        "CASE WHEN b.hits > 0 THEN b.lang_c ELSE 'und' END AS lang_pred "
+        "FROM best b JOIN documents d USING (doc_id) WHERE rn = 1"
+    )
+
     ann_pairs_sql = """
 SELECT a.vec_id AS key_a, b.vec_id AS key_b,
        CAST(floor(list_cosine_similarity(
@@ -853,4 +891,6 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         "punct_bp": punct_bp_sql,
         "fingerprint": fingerprint_sql,
         "ann_pairs": ann_pairs_sql,
+        "ann_topk": ann_topk_sql,
+        "lang_id": lang_id_sql,
     }

@@ -86,3 +86,24 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     pandas as ``bytes`` objects, so ``extract_text_py`` applies
     unchanged and the bytes→str decode is explicit UTF-8."""
     return html.map(extract_text_py, na_action="ignore")
+
+
+@pandas_udf(T.StringType())
+def extract_mismatch_udf(html: pd.Series, text: pd.Series) -> pd.Series:
+    """Extraction-invariant check with the compare INSIDE the batch:
+    returns null when ``extract(html)`` byte-equals ``text`` (the
+    overwhelmingly common case), else the observed extracted value
+    (``<unextractable>`` for corrupt payloads).
+
+    Returning ~1 null byte per clean row instead of shipping every
+    extracted string back through Arrow for a JVM-side compare halves
+    the Arrow traffic of the dominant python stage; the violation
+    text survives only for the rare mismatching row."""
+    out = []
+    for h, t in zip(html, text):
+        ex = extract_text_py(h) if h is not None else None
+        if ex == (t if t is not None else None):
+            out.append(None)
+        else:
+            out.append(ex if ex is not None else "<unextractable>")
+    return pd.Series(out, dtype=object)

@@ -14,7 +14,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from py_schemax_spark.functions.extraction import extract_text_udf
 from py_schemax_spark.specs.model import TableSpec
 
 
@@ -36,18 +35,20 @@ def extraction_violations(
         if partition_expr is not None
         else []
     )
-    extracted = extract_text_udf(F.col(src))
+    from py_schemax_spark.functions.extraction import extract_mismatch_udf
+
     cid = f"{src}.extraction"
     return (
         df.select(F.col(key).cast("string").alias(key), src, tgt, *pcol)
-        .withColumn("_ex", extracted)
-        .filter(~F.col("_ex").eqNullSafe(F.col(tgt)))
+        # compare inside the Arrow batch: null = byte-identical, so the
+        # common clean row ships ~1 null byte back instead of its whole
+        # extracted text (see extract_mismatch_udf)
+        .withColumn("_mx", extract_mismatch_udf(F.col(src), F.col(tgt)))
+        .filter(F.col("_mx").isNotNull())
         .select(
             key,
             F.lit(cid).alias("constraint_id"),
-            F.substring(
-                F.coalesce(F.col("_ex"), F.lit("<unextractable>")), 1, 256
-            ).alias("observed"),
+            F.substring(F.col("_mx"), 1, 256).alias("observed"),
             F.lit(f"extract({src}) == {tgt} (byte-identical)").alias(
                 "expected"
             ),

@@ -180,14 +180,17 @@ def extraction_constraint(spec: TableSpec) -> RowConstraint | None:
     same single-scan projection as every other row check."""
     if spec.extraction is None:
         return None
-    from py_schemax_spark.functions.extraction import extract_text_udf
+    from py_schemax_spark.functions.extraction import extract_mismatch_udf
 
     src, tgt = spec.extraction.source, spec.extraction.target
-    extracted = extract_text_udf(F.col(src))
+    # compare happens inside the Arrow batch: null = byte-identical
+    # (the common row returns ~1 null byte instead of the whole
+    # extracted string), non-null = the observed mismatching value
+    mismatch = extract_mismatch_udf(F.col(src), F.col(tgt))
     return RowConstraint(
         f"{src}.extraction",
-        ~extracted.eqNullSafe(F.col(tgt)),
-        F.substring(F.coalesce(extracted, F.lit("<unextractable>")), 1, 256),
+        mismatch.isNotNull(),
+        F.substring(mismatch, 1, 256),
         f"extract({src}) == {tgt} (byte-identical)",
     )
 
@@ -271,11 +274,30 @@ def violation_struct_array(constraints: list[RowConstraint]) -> Column:
         )
         for rc in constraints
     ]
+    empty = F.array().cast(
+        "array<struct<constraint_id:string,observed:string,expected:string>>"
+    )
     if not elems:
-        return F.array().cast(
-            "array<struct<constraint_id:string,observed:string,expected:string>>"
-        )
-    return F.array_compact(F.array(*elems))
+        return empty
+    # gate the struct-array construction behind one cheap boolean OR:
+    # violations are rare, so the overwhelmingly common clean row must
+    # not allocate a #constraints-wide array of structs (at 10^12 rows
+    # that allocation pressure dominates GC; measured a material part
+    # of the scan pass locally). null predicates (not-applicable) are
+    # neutral in the OR, matching the per-element when() semantics.
+    any_violation = F.coalesce(
+        reduce_or([rc.predicate for rc in constraints]), F.lit(False)
+    )
+    return F.when(any_violation, F.array_compact(F.array(*elems))).otherwise(
+        empty
+    )
+
+
+def reduce_or(preds: list[Column]) -> Column:
+    out = preds[0].isNotNull() & preds[0]
+    for p in preds[1:]:
+        out = out | (p.isNotNull() & p)
+    return out
 
 
 def schema_conformance(df: DataFrame, spec: TableSpec) -> list[dict]:

@@ -74,9 +74,15 @@ def gen_pages(
     corrupt_html_rate: float = 0.001,
     clean: bool = False,
     num_partitions: int | None = None,
+    words_scale: int = 1,
 ) -> DataFrame:
     """Deterministic pages DataFrame. ``clean=True`` disables all
     violation injection (used to build drift baselines / golden runs).
+
+    ``words_scale`` repeats each document's base sentence N times —
+    used by the scaling benchmark to generate realistically-sized web
+    pages (real Common-Crawl documents are KBs, not the ~250-byte test
+    default) without changing the violation mix.
     """
     if clean:
         dup_rate = null_text_rate = empty_text_rate = 0.0
@@ -118,6 +124,12 @@ def gen_pages(
         lambda i: F.element_at(vocab, (F.pmod(_h(s + 5, idc, i), F.lit(len(_VOCAB))) + 1).cast("int")),
     )
     text = F.concat_ws(" ", words)
+    if words_scale > 1:
+        # cheap length scaling: one string repeat, not a words_scale×
+        # bigger HOF (the word-builder transform re-evaluates its
+        # sequence child per element — quadratic — so growing n_words
+        # directly would explode datagen cost)
+        text = F.rtrim(F.repeat(F.concat(text, F.lit(" ")), words_scale))
     text = F.when(_u01(s + 6, idc) < null_text_rate, F.lit(None)).otherwise(
         F.when(_u01(s + 7, idc) < empty_text_rate, F.lit("")).otherwise(text)
     )
