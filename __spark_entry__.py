@@ -382,7 +382,7 @@ def q_token_counts(spark, sf_dir):
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         F.length("text").alias("n_chars_actual"),
-        bpe_token_estimate(F.col("text")).alias("n_bpe_est"),
+        bpe_token_estimate(F.col("text")).cast("long").alias("n_bpe_est"),
     )
 
 
@@ -775,10 +775,10 @@ LIMIT 20
 SELECT doc_id,
        len(string_split_regex(trim(text), '\s+')) AS n_tokens,
        length(text) AS n_chars_actual,
-       (SELECT sum(1 + CAST(floor((length(w) - 1) / 4) AS INT))
-        FROM unnest(string_split_regex(trim(text), '\s+')) AS t(w))
-       + (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
-         AS n_bpe_est
+       CAST((SELECT sum(1 + CAST(floor((length(w) - 1) / 4) AS INT))
+             FROM unnest(string_split_regex(trim(text), '\s+')) AS t(w))
+            + (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+            AS BIGINT) AS n_bpe_est
 FROM documents
 """
 
@@ -798,9 +798,13 @@ FROM (
     sessions_sql = """
 WITH g AS (
   SELECT user_id,
+         -- floor(epoch()) matches Spark's whole-second unix_timestamp
+         -- truncation: DuckDB epoch(ts) is DOUBLE with fractional
+         -- seconds, so a gap landing in (1799,1801)s would otherwise
+         -- disagree across engines (ADVICE r1)
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER
-                     (PARTITION BY user_id ORDER BY ts)) > 1800
+                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER
+                     (PARTITION BY user_id ORDER BY ts))) > 1800
               THEN 1 ELSE 0 END AS new_s
   FROM events
 )
