@@ -389,11 +389,12 @@ def q_token_counts(spark, sf_dir):
 def q_stopword_bp(spark, sf_dir):
     """Quality scoring: stopword ratio in basis points (integer-exact
     floor so FP rounding can't diverge from the oracle)."""
+    from py_schemax_spark.operators.textstats import stopword_hits
+
     d = _docs(spark, sf_dir)
-    toks = tokens(F.lower(F.col("text")))
-    sw = F.array(*[F.lit(w) for w in ("the", "a", "and", "of", "to")])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    n = F.size(toks)
+    lc = F.lower(F.col("text"))
+    hits = stopword_hits(lc, ["the", "a", "and", "of", "to"])
+    n = token_count(lc)
     return d.select(
         "doc_id",
         F.floor(hits * 10000 / n).cast("long").alias("stopword_bp"),

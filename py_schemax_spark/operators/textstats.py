@@ -36,28 +36,43 @@ def tokens(c: Column) -> Column:
 
 
 def token_count(c: Column) -> Column:
-    return F.size(tokens(c))
+    """Whitespace token count as pure regexp arithmetic: the number of
+    maximal non-space runs. Codegen'd JVM expression — no array is
+    materialized (the HOF form ``size(tokens(c))`` builds the token
+    array per row and runs interpreted; SURVEY §7)."""
+    return F.regexp_count(c, F.lit(r"\S+"))
 
 
 def bpe_token_estimate(c: Column) -> Column:
     """Deterministic BPE-ish token-count estimate: one unit per
     whitespace token plus one extra unit per full 4 chars beyond the
     first 4 of each token (long words split into subwords), plus one
-    per punctuation mark."""
-    word_units = F.aggregate(
-        tokens(c),
-        F.lit(0),
-        lambda acc, w: acc + 1 + F.floor((F.length(w) - 1) / 4).cast("int"),
-    )
+    per punctuation mark.
+
+    The per-token ``floor((len-1)/4)`` sum is expressed as a regexp
+    count: non-overlapping matches of ``\\S{4}(?=\\S)`` within a token
+    of length L number exactly floor((L-1)/4), so the whole estimate
+    is three codegen'd regexp counts — no token array, no interpreted
+    ``aggregate`` fold."""
+    extra_units = F.regexp_count(c, F.lit(r"\S{4}(?=\S)"))
     punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
-    return word_units + punct
+    return token_count(c) + extra_units + punct
+
+
+def stopword_hits(c: Column, stopwords: list[str] | None = None) -> Column:
+    """Count of whitespace tokens equal to a stopword, as one regexp
+    count: ``(?<!\\S)(w1|w2|...)(?!\\S)`` matches a listed word exactly
+    when it is a maximal non-space run (not preceded/followed by a
+    non-space char — covers string boundaries too). Caller passes a
+    lowercased column for case-insensitive semantics."""
+    words = "|".join(stopwords or _EN_STOPWORDS)
+    return F.regexp_count(c, F.lit(rf"(?<!\S)(?:{words})(?!\S)"))
 
 
 def stopword_ratio(c: Column, stopwords: list[str] | None = None) -> Column:
-    sw = F.array(*[F.lit(w) for w in (stopwords or _EN_STOPWORDS)])
-    toks = tokens(F.lower(c))
-    n = F.size(toks)
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    lc = F.lower(c)
+    n = token_count(lc)
+    hits = stopword_hits(lc, stopwords)
     return F.when(n > 0, F.round(hits / n, 4)).otherwise(F.lit(0.0))
 
 
@@ -82,16 +97,18 @@ def lang_id(c: Column) -> Column:
     """Marker-word language ID: the language whose stopword markers hit
     the most tokens; ``und`` (undetermined) when nothing hits. A cheap,
     deterministic stand-in for a real classifier — shape and plumbing
-    (pure projection, no UDF) are what carry to production."""
-    toks = tokens(F.lower(c))
+    (pure projection, no UDF) are what carry to production.
+
+    Per-language marker hits are codegen'd regexp counts over the
+    lowered text (see ``stopword_hits``) — the previous form built the
+    token array once per language and filtered it in Catalyst's
+    interpreter."""
+    lc = F.lower(c)
     scores = []
     for lang, markers in _LANG_MARKERS.items():
-        arr = F.array(*[F.lit(w) for w in markers])
         scores.append(
             F.struct(
-                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(
-                    "hits"
-                ),
+                stopword_hits(lc, markers).alias("hits"),
                 F.lit(lang).alias("lang"),
             )
         )
