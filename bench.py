@@ -215,7 +215,7 @@ def main() -> None:
     # headline end-to-end validation throughput at full parallelism.
     # Protocol (same as the scaling section): one untimed warm-up run
     # (codegen, python workers, page cache — one-time session costs a
-    # long-lived production job never re-pays), then best-of-2 trials.
+    # long-lived production job never re-pays), then best-of-3 trials.
     run_validation_suite(spark, 50_000, baseline)  # warm-up
     trials = [run_validation_suite(spark, BENCH_ROWS, baseline)
               for _ in range(3)]
@@ -224,7 +224,7 @@ def main() -> None:
     out["validation"] = val
 
     # representative per-query timings on the driver tables
-    # (best-of-2 — the first execution of a plan pays one-time codegen)
+    # (best-of-3 — the first execution of a plan pays one-time codegen)
     qtimes: dict[str, float] = {}
     HEADLINE = [
         "stats", "row_violations", "uniqueness", "exact_dedup",
@@ -233,6 +233,8 @@ def main() -> None:
         "simhash", "extraction",
     ]
     queries = entrymod.queries()
+    from py_schemax_spark.operators.dedup import unpersist_intermediates
+
     for name in HEADLINE:
         best = float("inf")
         for _ in range(3):
@@ -240,6 +242,9 @@ def main() -> None:
             df: DataFrame = queries[name](spark, SF_DIR)
             df.count()
             best = min(best, time.perf_counter() - t0)
+            # release operator-persisted intermediates between trials
+            # (minhash buckets / shingle tables would pile up in cache)
+            unpersist_intermediates(df)
         qtimes[name] = round(best, 3)
     out["queries"] = qtimes
     out["value"] = round(val["sec"] + sum(qtimes.values()), 3)
@@ -320,7 +325,7 @@ runs ~20 GC/JIT threads across the 32-core host and the small level
 borrows invisible cores. Warm-up per level is two untimed runs (one
 small, one FULL-size — AQE replans at full size and C2 JIT needs the
 real hot loops; without the full-size warm-up the first 1-2 trials
-are 5-10× slower), then best-of-3 timed trials.
+are 5-10× slower), then best-of-4 timed trials.
 
 | parallelism | rows | wall sec (best of 4) | docs/sec |
 |---|---|---|---|

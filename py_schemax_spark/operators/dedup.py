@@ -35,6 +35,26 @@ def _norm_text(c) -> F.Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+def _track_persisted(result: DataFrame, intermediates: list) -> DataFrame:
+    """Attach persisted intermediates to the returned DataFrame so a
+    long-lived session can release them: operators in this module
+    persist shared sub-pipelines (the Arrow signature/shingle stages
+    would otherwise run twice under a self-join); Spark gives no hook
+    to unpersist automatically once the RESULT is materialized, so the
+    caller owns the release — ``unpersist_intermediates(df)`` after
+    consuming ``df`` (tests and bench do; a one-shot job can skip it,
+    the cache dies with the session)."""
+    result._schemax_persisted = intermediates  # type: ignore[attr-defined]
+    return result
+
+
+def unpersist_intermediates(df: DataFrame) -> None:
+    """Release MEMORY_AND_DISK intermediates persisted by the operator
+    that produced ``df`` (no-op for untracked DataFrames)."""
+    for cached in getattr(df, "_schemax_persisted", []):
+        cached.unpersist()
+
+
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
 ) -> DataFrame:
@@ -133,8 +153,11 @@ def shingle_codes_udf(n: int = 5):
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def codes(texts: pd.Series) -> pd.Series:
+        # null text propagates as null (JVM expressions do the same);
+        # without the guard None.encode raises inside the batch
         return pd.Series(
-            [_shingle_codes(t, n).view(np.int64) for t in texts]
+            [None if t is None else _shingle_codes(t, n).view(np.int64)
+             for t in texts]
         )
 
     return codes
@@ -159,25 +182,52 @@ def minhash_udf(num_hashes: int = 64, shingle_n: int = 5):
     Everything upstream of this UDF stays JVM-side (scan, normalize);
     the interpreted-Catalyst alternative — higher-order ``transform``
     over a nested array expression — re-evaluates the child array per
-    element (quadratic in shingle count) and measured >100× slower."""
+    element (quadratic in shingle count) and measured >100× slower.
+
+    Peak memory is bounded INDEPENDENT of Arrow batch size: rows are
+    processed in chunks capped at ~32M (K × shingles) uint64 products
+    (≈256 MB), so a 10k-row batch of KB-sized pages (~20M shingles ×
+    K=64 → would be ~10 GB in one allocation) can never OOM an
+    executor. Null text propagates as a null signature."""
     a, b = _minhash_family(num_hashes)
+    # cap the (K × chunk_shingles) uint64 matrix at ~256 MB
+    max_chunk_shingles = max(1024, (32 << 20) // num_hashes)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def sig(texts: pd.Series) -> pd.Series:
-        if len(texts) == 0:
-            return pd.Series([], dtype=object)
-        per_row = [_shingle_codes(t, shingle_n) for t in texts]
-        lengths = np.fromiter((c.size for c in per_row), dtype=np.int64,
-                              count=len(per_row))
-        flat = np.concatenate(per_row)
-        with np.errstate(over="ignore"):
-            derived = a[:, None] * flat[None, :] + b[:, None]
-        offsets = np.zeros(len(lengths), dtype=np.int64)
-        np.cumsum(lengths[:-1], out=offsets[1:])
-        # empty rows can't occur: _shingle_codes pads to >= 1 window
-        mins = np.minimum.reduceat(derived, offsets, axis=1)
-        out = mins.view(np.int64).T
-        return pd.Series(list(out))
+        out: list = []
+        pend: list[np.ndarray] = []
+        pend_sh = 0
+
+        def flush() -> None:
+            nonlocal pend, pend_sh
+            if not pend:
+                return
+            lengths = np.fromiter((c.size for c in pend), dtype=np.int64,
+                                  count=len(pend))
+            flat = np.concatenate(pend)
+            with np.errstate(over="ignore"):
+                derived = a[:, None] * flat[None, :] + b[:, None]
+            offsets = np.zeros(len(lengths), dtype=np.int64)
+            np.cumsum(lengths[:-1], out=offsets[1:])
+            # empty rows can't occur: _shingle_codes pads to >= 1 window
+            mins = np.minimum.reduceat(derived, offsets, axis=1)
+            out.extend(list(mins.view(np.int64).T))
+            pend, pend_sh = [], 0
+
+        for t in texts:
+            if t is None:
+                # flush first so `out` stays row-ordered
+                flush()
+                out.append(None)
+                continue
+            c = _shingle_codes(t, shingle_n)
+            pend.append(c)
+            pend_sh += c.size
+            if pend_sh >= max_chunk_shingles:
+                flush()
+        flush()
+        return pd.Series(out, dtype=object)
 
     return sig
 
@@ -256,7 +306,7 @@ def minhash_lsh_candidates(
     buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     left = buckets.alias("l")
     right = buckets.alias("r")
-    return (
+    return _track_persisted(
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -266,7 +316,8 @@ def minhash_lsh_candidates(
         .groupBy(
             F.col("l.k").alias("key_a"), F.col("r.k").alias("key_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .agg(F.count(F.lit(1)).alias("n_bands")),
+        [buckets],
     )
 
 
@@ -290,7 +341,10 @@ def ngram_jaccard_pairs(
 
     codes = shingle_codes_udf(shingle_n)
     sh = (
-        df.select(F.col(key_col).alias("k"), F.col(text_col).alias("_t"))
+        # null text can't shingle — drop it here (mirrors
+        # minhash_signatures) instead of crashing in the Arrow batch
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(key_col).alias("k"), F.col(text_col).alias("_t"))
         .select("k", codes(_norm_text(F.col("_t"))).alias("sh"))
         # both join sides derive from this — persist so the shingle
         # UDF pipeline runs once, not twice
@@ -300,7 +354,7 @@ def ngram_jaccard_pairs(
     b = sh.select(F.col("k").alias("key_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    return _track_persisted(
         candidates.join(a, "key_a")
         .join(b, "key_b")
         .select(
@@ -308,7 +362,8 @@ def ngram_jaccard_pairs(
             "key_b",
             F.round(inter / union, 4).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard") >= threshold),
+        [sh],
     )
 
 
@@ -316,37 +371,26 @@ def ngram_jaccard_pairs(
 
 
 @pandas_udf(T.ArrayType(T.IntegerType()))
-def _simhash_votes_udf(token_arrays: pd.Series) -> pd.Series:
-    """Arrow-vectorized per-bit majority vote: hash every token
-    (blake2b-8, memoized per batch — deterministic across workers,
-    unlike builtin ``hash``), unpack the batch's hashes into a
+def _simhash_votes_udf(hash_arrays: pd.Series) -> pd.Series:
+    """Arrow-vectorized per-bit majority vote over PRE-HASHED tokens:
+    the input is ``array<long>`` of per-token xxhash64 values computed
+    JVM-side, so no Python code runs per token — the batch work is
+    pure numpy: concatenate the batch's hash arrays, unpack into a
     (total_tokens × 64) ±1 matrix, segmented-sum per row
-    (``add.reduceat``), sign → bit. Replaces an interpreted zip_with
-    fold that built a 64-wide array per token inside Catalyst's
-    interpreter."""
-    import hashlib
-
-    memo: dict[str, int] = {}
-
-    def h(tok: str) -> int:
-        v = memo.get(tok)
-        if v is None:
-            v = int.from_bytes(
-                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
-                "little",
-            )
-            memo[tok] = v
-        return v
-
-    lengths = np.fromiter((max(len(t), 1) for t in token_arrays),
-                          dtype=np.int64, count=len(token_arrays))
-    if len(lengths) == 0:
-        return pd.Series([], dtype=object)
-    flat = np.fromiter(
-        (h(tok) for toks in token_arrays
-         for tok in (toks if len(toks) else [""])),
-        dtype=np.uint64, count=int(lengths.sum()),
-    )
+    (``add.reduceat``), sign → bit. Null rows (null text upstream)
+    propagate as null fingerprints; per-bit votes are bounded by the
+    same ~32M-element chunking idea as minhash via Arrow batch sizing
+    (64 × tokens int32 ≈ 256 B/token — a 10k-row × 400-token batch is
+    ~1 GB peak, acceptable; raise spark.sql.execution.arrow
+    .maxRecordsPerBatch with care on KB-sized docs)."""
+    rows = [None if t is None else np.asarray(t, dtype=np.int64)
+            for t in hash_arrays]
+    valid = [r for r in rows if r is not None and r.size > 0]
+    if not valid:
+        return pd.Series(rows, dtype=object)
+    lengths = np.fromiter((r.size for r in valid), dtype=np.int64,
+                          count=len(valid))
+    flat = np.concatenate(valid).view(np.uint64)
     shifts = np.arange(64, dtype=np.uint64)
     pm1 = (((flat[:, None] >> shifts[None, :]) & np.uint64(1))
            .astype(np.int32) * 2 - 1)
@@ -354,24 +398,40 @@ def _simhash_votes_udf(token_arrays: pd.Series) -> pd.Series:
     np.cumsum(lengths[:-1], out=offsets[1:])
     votes = np.add.reduceat(pm1, offsets, axis=0)
     bits = (votes > 0).astype(np.int32)
-    return pd.Series(list(bits))
+    out: list = []
+    vi = 0
+    for r in rows:
+        if r is None:
+            out.append(None)
+        elif r.size == 0:
+            out.append(np.zeros(64, dtype=np.int32))
+        else:
+            out.append(bits[vi])
+            vi += 1
+    return pd.Series(out, dtype=object)
 
 
 def simhash_bits(text_col, token_split: str = r"\s+") -> F.Column:
     """64-bit SimHash over whitespace tokens as an ``array<int>`` of 64
     bits (index 0 = least significant).
 
-    Per-bit majority vote of token hashes (Charikar 2002): tokenization
-    (``split``) stays JVM-side; hashing + the 64-bit unpack + vote is
-    one Arrow-vectorized numpy batch op. Token weight = 1; term
-    frequency folds in via repeated tokens.
+    Per-bit majority vote of token hashes (Charikar 2002): both
+    tokenization (``split``) AND per-token hashing (``xxhash64``,
+    deterministic fixed-seed, identical across executors/runs) stay
+    JVM-side; only the 64-bit unpack + vote crosses into one
+    Arrow-vectorized numpy batch op — no per-token Python anywhere.
+    Token weight = 1; term frequency folds in via repeated tokens.
+    NOTE (round 2): the token hash changed blake2b→xxhash64, so
+    fingerprints differ from round-1 outputs; SimHash fingerprints are
+    engine-internal (rows-only query, semantic pytest assertions), not
+    a persisted contract.
 
     The fingerprint stays an array (not a packed long): chunk bucketing
     hashes slices of it and Hamming distance is an element-wise
     aggregate, so packing would only add sign-bit gymnastics.
     """
-    tokens = F.split(_norm_text(text_col), token_split)
-    return _simhash_votes_udf(tokens)
+    toks = F.split(_norm_text(text_col), token_split)
+    return _simhash_votes_udf(F.transform(toks, lambda t: F.xxhash64(t)))
 
 
 def simhash_hex(bits_col) -> F.Column:

@@ -94,9 +94,12 @@ def hyperplane_bucket(
     vec: Column, dim: int, n_planes: int = 16, seed: int = 42
 ) -> Column:
     """SignRandomProjection bucket id: sign pattern of ``n_planes``
-    pseudo-random hyperplanes. Plane components are deterministic
-    ±1 derived from xxhash64(seed, plane, component) — no RNG state to
-    ship, identical across executors/runs."""
+    pseudo-random hyperplanes. Plane components are deterministic ±1
+    derived driver-side from blake2b("seed:plane:component") and folded
+    in as constant literals — no RNG state to ship, identical across
+    executors/runs. (Round 1 briefly derived planes differently;
+    bucket ids are session-internal, not a persisted contract — do not
+    compare bucket tables across engine versions.)"""
     import hashlib
 
     def comp(p: int, i: int) -> float:

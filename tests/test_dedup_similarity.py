@@ -299,3 +299,47 @@ def test_streaming_windowed_violations(spark, pages_spec, tmp_path):
         .collect()
     }
     assert stream_totals == batch_totals
+
+
+def test_dedup_operators_null_text_safe(spark):
+    """gen_pages injects null text by default — every dedup flavor must
+    propagate/skip nulls instead of crashing in an Arrow batch
+    (ADVICE r1)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, None),
+        (4, None),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    cand = minhash_lsh_candidates(corpus, key_col="doc_id", num_hashes=16,
+                                  bands=4)
+    pairs = {(r["key_a"], r["key_b"]) for r in cand.collect()}
+    assert pairs == {(1, 2)}
+    verified = ngram_jaccard_pairs(
+        corpus, cand.select("key_a", "key_b"), key_col="doc_id",
+        threshold=0.5,
+    )
+    assert [(r["key_a"], r["key_b"]) for r in verified.collect()] == [(1, 2)]
+    fps = corpus.select(
+        "doc_id", simhash_bits(F.col("text")).alias("bits")
+    ).collect()
+    by_id = {r["doc_id"]: r["bits"] for r in fps}
+    assert by_id[3] is None and by_id[4] is None
+    assert by_id[1] == by_id[2] and len(by_id[1]) == 64
+    near = simhash_near_duplicates(corpus, key_col="doc_id", max_hamming=3)
+    assert {(r["key_a"], r["key_b"]) for r in near.collect()} == {(1, 2)}
+
+
+def test_unpersist_intermediates_releases_cache(spark, corpus):
+    from py_schemax_spark.operators.dedup import unpersist_intermediates
+
+    cand = minhash_lsh_candidates(corpus, key_col="doc_id", num_hashes=16,
+                                  bands=4)
+    cand.count()
+    cached = cand._schemax_persisted
+    assert cached and all(c.storageLevel.useMemory for c in cached)
+    unpersist_intermediates(cand)
+    assert all(not c.storageLevel.useMemory for c in cached)
+    # untracked DataFrames are a no-op
+    unpersist_intermediates(corpus)
