@@ -464,6 +464,19 @@ def q_ann_pairs(spark, sf_dir):
     )
 
 
+def q_ann_pairs_blocked(spark, sf_dir):
+    """Embedding near-dup via the SCALE path (block-pair decomposition,
+    no driver collect) — same oracle as ann_pairs: the two physical
+    strategies must produce byte-identical results."""
+    from py_schemax_spark.operators.similarity import all_pairs_above_blocked
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return all_pairs_above_blocked(emb, threshold=0.25, n_blocks=4).select(
+        "key_a", "key_b",
+        F.floor(F.col("sim") * 100).cast("long").alias("sim_c"),
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-k vs a query set — oracled: both engines
     rank by the 4-decimal-rounded similarity with a vec_id tie-break,
@@ -563,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "ann_pairs": q_ann_pairs,
+        "ann_pairs_blocked": q_ann_pairs_blocked,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -896,6 +910,7 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         "punct_bp": punct_bp_sql,
         "fingerprint": fingerprint_sql,
         "ann_pairs": ann_pairs_sql,
+        "ann_pairs_blocked": ann_pairs_sql,
         "ann_topk": ann_topk_sql,
         "lang_id": lang_id_sql,
     }

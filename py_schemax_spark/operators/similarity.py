@@ -23,6 +23,9 @@ a DuckDB oracle computing the same reduction).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -49,6 +52,32 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_similarity_arrow(a: Column, b: Column) -> Column:
+    """Row-wise cosine as ONE vectorized numpy op per Arrow batch —
+    the hot-path replacement for ``cosine_similarity`` (whose
+    ``zip_with``/``aggregate`` form runs in Catalyst's expression
+    interpreter per pair). Same float64 math; summation order is
+    numpy's SIMD blocking, so last-ulp results can differ from the
+    sequential fold — round before comparing across engines."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.DoubleType())
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        ma = np.array(list(va), dtype=np.float64)
+        mb = np.array(list(vb), dtype=np.float64)
+        if ma.size == 0:
+            return pd.Series([], dtype=np.float64)
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.sqrt(np.einsum("ij,ij->i", ma, ma)
+                      * np.einsum("ij,ij->i", mb, mb))
+        return pd.Series(num / den)
+
+    return cos(a, b)
+
+
 def brute_force_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -61,31 +90,69 @@ def brute_force_topk(
     against the corpus, window per query. Returns
     ``(query_id, vec_id, sim, rank)``.
 
-    Scale: corpus never shuffles for the similarity computation; the
-    only shuffle is the per-query top-k (k rows per corpus partition
-    after partial ordering — Spark's window TopK pushes the limit into
-    the sort)."""
+    Scale: the query matrix is collected (small by contract) and
+    broadcast; each Arrow batch of the corpus does ONE numpy matmul
+    against it and emits only its per-query partial top-k (≤ k·|Q|
+    rows per batch) — the corpus never shuffles and the final window
+    ranks k·|Q|·n_batches candidate rows, not n·|Q|. Ordering is the
+    total order (sim rounded to 4 desc, vec_id asc), so batch-local
+    top-k merges exactly into the global top-k."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
+    from pyspark.sql import types as T
+    from typing import Iterator
 
-    q = queries.select(
+    qrows = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).collect()
+    q_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    bc = df.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
     )
-    sim = (
-        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
-        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine_similarity(F.col("vec"), F.col("qvec")), 4).alias(
-                "sim"
-            ),
-        )
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mat_q, nrm_q = bc.value
+        for pdf in batches:
+            b_ids = pdf["_id"].to_numpy(dtype=np.int64)
+            b_mat = np.array(list(pdf["_v"]), dtype=np.float64)
+            if b_mat.size == 0:
+                continue
+            b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
+            sims = np.round(
+                (b_mat @ mat_q.T) / np.outer(b_norm, nrm_q), 4
+            )  # (batch × Q)
+            # exclude self-matches before picking the partial top-k
+            sims[b_ids[:, None] == ids_q[None, :]] = -np.inf
+            take = min(k, b_ids.size)
+            # order: sim desc, vec_id asc — lexsort keys last-first
+            order = np.lexsort((b_ids[:, None].repeat(len(ids_q), 1), -sims),
+                               axis=0)[:take]
+            rows = {
+                "query_id": np.repeat(ids_q, take),
+                "vec_id": b_ids[order].T.ravel(),
+                "sim": np.take_along_axis(sims, order, axis=0).T.ravel(),
+            }
+            out = pd.DataFrame(rows)
+            yield out[np.isfinite(out["sim"])]
+
+    cand = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .mapInPandas(partial_topk, out_schema)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("vec_id").asc()
     )
     return (
-        sim.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
@@ -102,28 +169,41 @@ def hyperplane_bucket(
     compare bucket tables across engine versions.)"""
     import hashlib
 
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
     def comp(p: int, i: int) -> float:
         h = hashlib.blake2b(
             f"{seed}:{p}:{i}".encode(), digest_size=2
         ).digest()
         return 1.0 if h[0] & 1 == 0 else -1.0
 
-    plane_bits = []
-    for p in range(n_planes):
-        # plane components are CONSTANT per (seed, plane, i) — derive
-        # them driver-side and fold them in as literals (constant-
-        # folded by Catalyst) instead of re-hashing per row
-        comps = F.array(*[F.lit(comp(p, i)) for i in range(dim)])
-        proj = F.aggregate(
-            F.zip_with(vec, comps, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        plane_bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
-    bucket = F.lit(0).cast("long")
-    for b in plane_bits:
-        bucket = bucket * 2 + b
-    return bucket
+    # plane components are CONSTANT per (seed, plane, i) — derived
+    # driver-side once; all n_planes projections happen in ONE numpy
+    # matmul per Arrow batch (the previous form ran n_planes
+    # interpreted zip_with/aggregate folds per row)
+    planes = np.array(
+        [[comp(p, i) for i in range(dim)] for p in range(n_planes)],
+        dtype=np.float64,
+    )
+    weights = (1 << np.arange(n_planes - 1, -1, -1, dtype=np.int64))
+
+    @pandas_udf(T.LongType())
+    def bucket(vs: pd.Series) -> pd.Series:
+        rows = list(vs)
+        valid_idx = [i for i, v in enumerate(rows) if v is not None]
+        out: list = [None] * len(rows)
+        if valid_idx:
+            m = np.array([rows[i] for i in valid_idx], dtype=np.float64)
+            bits = (m @ planes.T) >= 0  # (batch × n_planes)
+            vals = (bits.astype(np.int64) * weights[None, :]).sum(axis=1)
+            for j, i in enumerate(valid_idx):
+                out[i] = int(vals[j])
+        return pd.Series(out, dtype=object)
+
+    return bucket(vec)
 
 
 def lsh_topk(
@@ -163,9 +243,9 @@ def lsh_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_similarity(F.col("vec"), F.col("qvec")), 4).alias(
-                "sim"
-            ),
+            F.round(
+                cosine_similarity_arrow(F.col("vec"), F.col("qvec")), 4
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -300,9 +380,9 @@ def ivf_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_similarity(F.col("vec"), F.col("qvec")), 4).alias(
-                "sim"
-            ),
+            F.round(
+                cosine_similarity_arrow(F.col("vec"), F.col("qvec")), 4
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -319,17 +399,35 @@ def all_pairs_above_np(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_rows: int = 1_000_000,
+    n_blocks: int = 16,
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold, vectorized: the corpus matrix is
-    broadcast (ids + float64 row-normalized matrix), and each Arrow
-    batch of rows does ONE numpy matmul against it inside
-    ``mapInPandas`` — no per-pair expression evaluation.
+    """All-pairs cosine ≥ threshold. Two physical strategies behind one
+    result contract (``(key_a, key_b, sim)``, key_a < key_b, raw
+    double sim, identical output either way):
 
-    Fit: corpora whose (n × dim × 8B) matrix fits executor memory
-    (e.g. 10M × 128 ≈ 10 GB is already too big — beyond that, generate
-    candidates with ``lsh_topk`` buckets and verify only candidates).
-    Returns ``(key_a, key_b, sim)`` with key_a < key_b, sim raw double.
+    - corpus ≤ ``max_broadcast_rows``: broadcast path — the corpus
+      matrix is collected once and broadcast; each Arrow batch does
+      ONE numpy matmul against it (fast constant factor, zero shuffle,
+      but driver/executor memory is O(n·dim)).
+    - larger corpora: ``all_pairs_above_blocked`` — block-pair
+      decomposition with NO driver collect and per-task memory bounded
+      by two blocks, the shape that survives a 100× scale-up.
     """
+    if df.count() > max_broadcast_rows:
+        return all_pairs_above_blocked(
+            df, threshold, id_col=id_col, vec_col=vec_col, n_blocks=n_blocks
+        )
+    return _all_pairs_above_broadcast(df, threshold, id_col, vec_col)
+
+
+def _all_pairs_above_broadcast(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Broadcast small-corpus all-pairs (see ``all_pairs_above_np``)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -378,6 +476,112 @@ def all_pairs_above_np(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).repartition(par)
     return pruned.mapInPandas(compute, out_schema)
+
+
+def all_pairs_above_blocked(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 16,
+    chunk_elems: int = 64_000_000,
+) -> DataFrame:
+    """Scale path for all-pairs cosine ≥ threshold: NO driver collect
+    anywhere (the broadcast path's ``collect()`` is a driver OOM at
+    ~10M×128).
+
+    Shape: ids hash into ``n_blocks`` blocks; each row is replicated
+    to its B block-pairs (one shuffle of B× the corpus), and each of
+    the B(B+1)/2 ``applyInPandas`` groups holds exactly two blocks —
+    its (n_i × n_j) similarity matrix is computed as chunked numpy
+    matmuls bounded by ``chunk_elems`` float64s (~512 MB), so per-task
+    peak memory is two blocks of vectors plus one bounded chunk.
+    Size ``n_blocks`` so a block fits a task: B ≈ n·dim·8B / 500 MB
+    (e.g. 100M×128 → B≈200 → ~20k tasks). Each qualifying unordered
+    pair is emitted exactly once as ``(key_a, key_b, sim)`` with
+    key_a < key_b — byte-identical contract to the broadcast path.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    B = n_blocks
+    tagged = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_blk"),
+    )
+    # row in block i meets block p inside group (min(i,p), max(i,p));
+    # every unordered block pair {i,j} gets each of its rows exactly once
+    pairs = tagged.select(
+        "_id", "_v", "_blk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.least(F.col("_blk"), F.lit(p)).alias("pi"),
+                        F.greatest(F.col("_blk"), F.lit(p)).alias("pj"),
+                    )
+                    for p in range(B)
+                ]
+            )
+        ).alias("_pp"),
+    ).select(
+        "_id", "_v", "_blk",
+        F.col("_pp.pi").alias("_pi"), F.col("_pp.pj").alias("_pj"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key_a", T.LongType()),
+            T.StructField("key_b", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+    empty = pd.DataFrame({"key_a": [], "key_b": [], "sim": []})
+
+    def crunch(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pi, pj = int(key[0]), int(key[1])
+        same = pi == pj
+        a = pdf[pdf["_blk"] == pi]
+        b = a if same else pdf[pdf["_blk"] == pj]
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        ids_a = a["_id"].to_numpy(dtype=np.int64)
+        ids_b = b["_id"].to_numpy(dtype=np.int64)
+        mat_a = np.array(list(a["_v"]), dtype=np.float64)
+        mat_b = np.array(list(b["_v"]), dtype=np.float64)
+        norm_a = np.sqrt((mat_a * mat_a).sum(axis=1))
+        norm_b = np.sqrt((mat_b * mat_b).sum(axis=1))
+        step = max(1, chunk_elems // max(len(b), 1))
+        frames = []
+        for s in range(0, len(a), step):
+            sl = slice(s, s + step)
+            sims = (mat_a[sl] @ mat_b.T) / np.outer(norm_a[sl], norm_b)
+            if same:
+                # each unordered pair appears twice in the square
+                # matrix — keep the id_a < id_b half only
+                mask = (ids_a[sl][:, None] < ids_b[None, :]) & (
+                    sims >= threshold
+                )
+            else:
+                mask = sims >= threshold
+            ai, bi = np.nonzero(mask)
+            if ai.size == 0:
+                continue
+            ka, kb = ids_a[sl][ai], ids_b[bi]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "key_a": np.minimum(ka, kb),
+                        "key_b": np.maximum(ka, kb),
+                        "sim": sims[ai, bi],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return pairs.groupBy("_pi", "_pj").applyInPandas(crunch, out_schema)
 
 
 def similarity_pairs_above(

@@ -343,3 +343,26 @@ def test_unpersist_intermediates_releases_cache(spark, corpus):
     assert all(not c.storageLevel.useMemory for c in cached)
     # untracked DataFrames are a no-op
     unpersist_intermediates(corpus)
+
+
+def test_all_pairs_blocked_matches_broadcast(spark, vectors):
+    """The scale path (block-pair decomposition, no driver collect)
+    must produce byte-identical pairs to the broadcast path."""
+    from py_schemax_spark.operators.similarity import (
+        _all_pairs_above_broadcast,
+        all_pairs_above_blocked,
+        all_pairs_above_np,
+    )
+
+    def norm(df):
+        return sorted(
+            (r["key_a"], r["key_b"], round(r["sim"], 9))
+            for r in df.collect()
+        )
+
+    bc = norm(_all_pairs_above_broadcast(vectors, 0.5))
+    bl = norm(all_pairs_above_blocked(vectors, 0.5, n_blocks=3))
+    assert bc == bl and len(bc) > 0
+    # the gate routes big corpora to the blocked path
+    gated = norm(all_pairs_above_np(vectors, 0.5, max_broadcast_rows=1))
+    assert gated == bc
