@@ -525,13 +525,67 @@ def q_minhash_candidates(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """n-gram Jaccard verification of minhash candidates (rows-only)."""
+    """Exact n-gram Jaccard on a SQL-expressible candidate set (pairs
+    within a deterministic doc_id//10 bucket of the dup-injected
+    corpus) — ORACLED: DuckDB recomputes the 5-gram shingle sets as
+    strings; the engine's polynomial shingle CODES are injective on
+    the ASCII corpus, so set sizes (n_inter, n_union) and the
+    floor-scaled jaccard_bp match integer-exactly."""
+    dup = _dup_injected(spark, sf_dir).filter(F.col("text").isNotNull())
+    bkt = F.floor(F.col("doc_id") / 10).alias("bkt")
+    a = dup.select(F.col("row_id").alias("key_a"), bkt)
+    b = dup.select(F.col("row_id").alias("key_b"), bkt)
+    cand = (
+        a.join(b, "bkt")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+    )
+    return ngram_jaccard_pairs(
+        dup, cand, text_col="text", key_col="row_id", threshold=0.2
+    ).select(
+        "key_a", "key_b", "n_inter", "n_union",
+        F.floor(F.col("n_inter") * 10000 / F.col("n_union"))
+        .cast("long").alias("jaccard_bp"),
+    )
+
+
+def q_ngram_jaccard_lsh(spark, sf_dir):
+    """n-gram Jaccard verification of minhash LSH candidates (the
+    production pipeline shape; rows-only — the candidate set is not
+    SQL-expressible)."""
     dup = _dup_injected(spark, sf_dir)
     cand = minhash_lsh_candidates(
         dup, text_col="text", key_col="row_id", num_hashes=64, bands=4
     ).select("key_a", "key_b")
     return ngram_jaccard_pairs(dup, cand, text_col="text", key_col="row_id",
                                threshold=0.8)
+
+
+def q_minhash_containment(spark, sf_dir):
+    """Containment oracle for MinHash LSH: identical-content pairs
+    have identical signatures, hence agree on every band — so every
+    exact-duplicate pair MUST appear in the candidate set. Returns the
+    exact-dup pairs MISSING from the candidates; the oracle is the
+    empty set (any row = a real LSH bug)."""
+    dup = _dup_injected(spark, sf_dir).filter(F.col("text").isNotNull())
+    cand = minhash_lsh_candidates(
+        dup, text_col="text", key_col="row_id", num_hashes=64, bands=4
+    ).select("key_a", "key_b")
+    fp = dup.select(
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+        .alias("fp"),
+        F.col("row_id"),
+    )
+    exact_pairs = (
+        fp.alias("a")
+        .join(fp.alias("b"), "fp")
+        .filter(F.col("a.row_id") < F.col("b.row_id"))
+        .select(
+            F.col("a.row_id").alias("key_a"),
+            F.col("b.row_id").alias("key_b"),
+        )
+    )
+    return exact_pairs.join(cand, ["key_a", "key_b"], "left_anti")
 
 
 def q_simhash(spark, sf_dir):
@@ -581,7 +635,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "minhash_candidates": q_minhash_candidates,
+        "minhash_containment": q_minhash_containment,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "simhash": q_simhash,
         "image_meta": q_image_meta,
     }
@@ -842,6 +898,42 @@ FROM documents
 SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
 """
 
+    ngram_jaccard_sql = f"""
+WITH {_DUP_SQL_CTE.strip()},
+d AS (
+  SELECT row_id, doc_id, {_NORM_SQL} AS t
+  FROM dupdocs WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT row_id, doc_id,
+         list_distinct(list_transform(range(1, length(t) - 3),
+                                      i -> substr(t, i, 5))) AS s
+  FROM d
+),
+cand AS (
+  SELECT a.row_id AS key_a, b.row_id AS key_b, a.s AS sa, b.s AS sb
+  FROM sh a JOIN sh b
+    ON (a.doc_id // 10) = (b.doc_id // 10) AND a.row_id < b.row_id
+),
+j AS (
+  SELECT key_a, key_b,
+         len(list_intersect(sa, sb)) AS n_inter,
+         len(list_distinct(list_concat(sa, sb))) AS n_union
+  FROM cand
+)
+SELECT key_a, key_b, n_inter, n_union,
+       CAST(floor(n_inter * 10000.0 / n_union) AS BIGINT) AS jaccard_bp
+FROM j WHERE round(n_inter * 1.0 / n_union, 4) >= 0.2
+"""
+
+    # containment contract: the Spark query returns exact-dup pairs
+    # MISSING from the LSH candidates — correct iff EMPTY, so the
+    # oracle is the empty relation with the same schema
+    minhash_containment_sql = """
+SELECT CAST(NULL AS VARCHAR) AS key_a, CAST(NULL AS VARCHAR) AS key_b
+WHERE 1 = 0
+"""
+
     ann_topk_sql = """
 SELECT query_id, vec_id, sim, rank FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
@@ -909,6 +1001,8 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         "sessions": sessions_sql,
         "punct_bp": punct_bp_sql,
         "fingerprint": fingerprint_sql,
+        "ngram_jaccard": ngram_jaccard_sql,
+        "minhash_containment": minhash_containment_sql,
         "ann_pairs": ann_pairs_sql,
         "ann_pairs_blocked": ann_pairs_sql,
         "ann_topk": ann_topk_sql,

@@ -360,6 +360,10 @@ def ngram_jaccard_pairs(
         .select(
             "key_a",
             "key_b",
+            # n_inter/n_union carry the integer-exact set sizes (the
+            # oracle-comparable columns); jaccard is the rounded ratio
+            inter.alias("n_inter"),
+            union.alias("n_union"),
             F.round(inter / union, 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold),
