@@ -255,6 +255,45 @@ def q_drift_psi(spark, sf_dir):
     )
 
 
+def q_datetime_conformance(spark, sf_dir):
+    """Datetime format/timezone enforcement on string physical columns
+    (round-2: reference models.py:92-103 declares format/timezone;
+    this engine checks the DATA): a derived string-ts table with
+    deterministic corruption classes — wrong-but-parseable format
+    (`.format`), garbage (`.type`), wrong UTC-offset suffix
+    (`.timezone`)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_str = (
+        F.when(F.col("event_id") % 101 == 0, F.lit("not-a-date"))
+        .when(
+            F.col("event_id") % 97 == 0,
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+        )
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+    )
+    ts_tz = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.when(F.col("event_id") % 89 == 0, F.lit("+02:00")).otherwise(
+            F.lit("Z")
+        ),
+    )
+    derived = ev.select(
+        "event_id", ts_str.alias("ts_str"), ts_tz.alias("ts_tz")
+    )
+    spec = validate_spec_dict(
+        {
+            "fqn": "t", "key": "event_id",
+            "columns": [
+                {"name": "event_id", "type": "integer"},
+                {"name": "ts_str", "type": "datetime",
+                 "format": "%Y-%m-%d %H:%M:%S"},
+                {"name": "ts_tz", "type": "datetime", "timezone": "UTC"},
+            ],
+        }
+    ).spec
+    return row_violations(derived, spec)
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped aggregation (integer-exact cents arithmetic so
     the oracle matches bit-for-bit regardless of summation order)."""
@@ -613,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniqueness": q_uniqueness,
         "extraction": q_extraction,
         "pages_violations": q_pages_violations,
+        "datetime_conformance": q_datetime_conformance,
         "exact_dedup": q_exact_dedup,
         "drift_buckets": q_drift_buckets,
         "drift_psi": q_drift_psi,
@@ -766,6 +806,38 @@ SELECT md5({_NORM_SQL}) AS text_md5,
 FROM dupdocs
 WHERE text IS NOT NULL
 GROUP BY 1 HAVING count(*) > 1
+"""
+
+    datetime_conformance_sql = r"""
+WITH d AS (
+  SELECT event_id,
+         CASE WHEN event_id % 101 = 0 THEN 'not-a-date'
+              WHEN event_id % 97 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+              ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS ts_str,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') ||
+           CASE WHEN event_id % 89 = 0 THEN '+02:00' ELSE 'Z' END AS ts_tz
+  FROM events
+)
+SELECT CAST(event_id AS VARCHAR) AS event_id,
+       'ts_str.type' AS constraint_id,
+       substr(ts_str, 1, 256) AS observed,
+       'value castable to datetime' AS expected
+FROM d WHERE ts_str IS NOT NULL AND TRY_CAST(ts_str AS TIMESTAMP) IS NULL
+UNION ALL
+SELECT CAST(event_id AS VARCHAR), 'ts_str.format', substr(ts_str, 1, 256),
+       'ts_str parses with format ''%Y-%m-%d %H:%M:%S'''
+FROM d WHERE ts_str IS NOT NULL
+        AND TRY_CAST(ts_str AS TIMESTAMP) IS NOT NULL
+        AND try_strptime(ts_str, '%Y-%m-%d %H:%M:%S') IS NULL
+UNION ALL
+SELECT CAST(event_id AS VARCHAR), 'ts_tz.type', substr(ts_tz, 1, 256),
+       'value castable to datetime'
+FROM d WHERE ts_tz IS NOT NULL AND TRY_CAST(ts_tz AS TIMESTAMP) IS NULL
+UNION ALL
+SELECT CAST(event_id AS VARCHAR), 'ts_tz.timezone', substr(ts_tz, 1, 256),
+       'ts_tz carries timezone UTC'
+FROM d WHERE ts_tz IS NOT NULL
+        AND NOT regexp_matches(ts_tz, '(Z|\+00:?00)$')
 """
 
     drift_buckets_sql = """
@@ -987,6 +1059,7 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         "uniqueness": uniqueness_sql,
         "extraction": extraction_sql,
         "pages_violations": pages_viol_sql,
+        "datetime_conformance": datetime_conformance_sql,
         "exact_dedup": exact_dedup_sql,
         "drift_buckets": drift_buckets_sql,
         "pricing_summary": pricing_sql,

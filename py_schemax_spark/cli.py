@@ -41,7 +41,12 @@ def accept_paths_from_stdin(args_paths: list[str]) -> list[str]:
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from py_schemax_spark import __version__
+
     p = argparse.ArgumentParser(prog="py-schemax-spark")
+    # reference cli.py:58 (click.version_option)
+    p.add_argument("--version", action="version",
+                   version=f"%(prog)s {__version__}")
     sub = p.add_subparsers(dest="command", required=True)
 
     # check-specs: the reference CLI surface itself (schemax validate
@@ -57,6 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
     cfm.add_argument("--fail-never", dest="fail_mode", action="store_const",
                      const="never")
     c.add_argument("--output-format", choices=("text", "json"), default=None)
+    c.add_argument("--json", dest="use_json", action="store_true",
+                   help="JSON output; overrides --output-format "
+                        "(reference cli.py:98-103)")
+    c.add_argument("--config", dest="config_files", action="append",
+                   default=None, metavar="FILE",
+                   help="read option defaults from this TOML file "
+                        "(repeatable; first valid wins — reference "
+                        "cli.py:80-90)")
     clv = c.add_mutually_exclusive_group()
     clv.add_argument("--silent", dest="output_level", action="store_const",
                      const="silent")
@@ -88,6 +101,14 @@ def build_parser() -> argparse.ArgumentParser:
     fm.add_argument("--fail-never", dest="fail_mode", action="store_const",
                     const="never")
     v.add_argument("--output-format", choices=("text", "json"), default=None)
+    v.add_argument("--json", dest="use_json", action="store_true",
+                   help="JSON output; overrides --output-format "
+                        "(reference cli.py:98-103)")
+    v.add_argument("--config", dest="config_files", action="append",
+                   default=None, metavar="FILE",
+                   help="read option defaults from this TOML file "
+                        "(repeatable; first valid wins — reference "
+                        "cli.py:80-90)")
     lv = v.add_mutually_exclusive_group()
     lv.add_argument("--silent", dest="output_level", action="store_const",
                     const="silent")
@@ -122,15 +143,22 @@ def check_specs_main(ns) -> int:
 
     from py_schemax_spark.specs.depgraph import SpecSetValidator
 
-    cfg = resolve_config(
-        {
-            "output_format": ns.output_format,
-            "output_level": ns.output_level,
-            "fail_mode": ns.fail_mode,
-            "required_attributes": ns.required_attributes,
-            "column_required_attributes": ns.column_required_attributes,
-        }
-    )
+    try:
+        cfg = resolve_config(
+            {
+                "output_format": (
+                    "json" if ns.use_json else ns.output_format
+                ),
+                "output_level": ns.output_level,
+                "fail_mode": ns.fail_mode,
+                "required_attributes": ns.required_attributes,
+                "column_required_attributes": ns.column_required_attributes,
+            },
+            config_files=tuple(ns.config_files) if ns.config_files else None,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     paths = accept_paths_from_stdin(ns.specs)
     if not paths:
         print("no spec paths given (args or stdin)", file=sys.stderr)
@@ -185,20 +213,27 @@ def main(argv: Optional[list[str]] = None, spark=None) -> int:
     ns = build_parser().parse_args(argv)
     if ns.command == "check-specs":
         return check_specs_main(ns)
-    cfg = resolve_config(
-        {
-            "output_format": ns.output_format,
-            "output_level": ns.output_level,
-            "fail_mode": ns.fail_mode,
-            "checks": ns.checks,
-            "skip": ns.skip,
-            "checkpoint_dir": ns.checkpoint_dir,
-            "salt": ns.salt,
-            "order_col": ns.order_col,
-            "required_attributes": ns.required_attributes,
-            "column_required_attributes": ns.column_required_attributes,
-        }
-    )
+    try:
+        cfg = resolve_config(
+            {
+                "output_format": (
+                    "json" if ns.use_json else ns.output_format
+                ),
+                "output_level": ns.output_level,
+                "fail_mode": ns.fail_mode,
+                "checks": ns.checks,
+                "skip": ns.skip,
+                "checkpoint_dir": ns.checkpoint_dir,
+                "salt": ns.salt,
+                "order_col": ns.order_col,
+                "required_attributes": ns.required_attributes,
+                "column_required_attributes": ns.column_required_attributes,
+            },
+            config_files=tuple(ns.config_files) if ns.config_files else None,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     out = Output(cfg.output_format, cfg.output_level)
 
     spec_result = load_spec(

@@ -74,6 +74,33 @@ def _toml_layer(cwd: str = ".") -> dict[str, Any]:
     return {}
 
 
+def _explicit_config_layer(paths: tuple[str, ...]) -> dict[str, Any]:
+    """``--config FILE`` layer (reference cli.py:80-90 +
+    parse_config_files, config.py:187-217): files are tried in order,
+    the FIRST one yielding a non-empty ``[validate]`` /
+    ``[tool.schemax_spark.validate]`` section wins. Raises ValueError
+    when none of the explicitly provided files produce config — the
+    analogue of the reference's click.BadParameter."""
+    if tomllib is None:  # pragma: no cover
+        raise ValueError("tomllib unavailable; cannot parse --config files")
+    for path in paths:
+        try:
+            with open(path, "rb") as f:
+                doc = tomllib.load(f)
+        except (FileNotFoundError, IsADirectoryError):
+            continue
+        except Exception:
+            continue
+        section = doc.get("validate") or (
+            doc.get("tool", {}).get("schemax_spark", {}).get("validate", {})
+        )
+        if section:
+            return dict(section)
+    raise ValueError(
+        f"none of the provided config files are valid - {list(paths)}"
+    )
+
+
 def _env_layer() -> dict[str, Any]:
     out = {}
     for key in DEFAULTS:
@@ -114,13 +141,22 @@ def _split(v: Any) -> tuple[str, ...]:
 
 
 def resolve_config(
-    cli_overrides: Optional[dict[str, Any]] = None, cwd: str = "."
+    cli_overrides: Optional[dict[str, Any]] = None,
+    cwd: str = ".",
+    config_files: Optional[tuple[str, ...]] = None,
 ) -> ValidateConfig:
     """Merge the four layers; ``cli_overrides`` entries that are None
     are treated as "not given" (so flags only win when present —
-    reference click default_map semantics, cli.py:33-54)."""
+    reference click default_map semantics, cli.py:33-54).
+
+    ``config_files``: explicit ``--config FILE`` paths — they REPLACE
+    the cwd auto-discovery layer (reference cli.py:80-90) and raise
+    ValueError when none parses to a config section."""
     merged = dict(DEFAULTS)
-    merged.update(_toml_layer(cwd))
+    if config_files:
+        merged.update(_explicit_config_layer(config_files))
+    else:
+        merged.update(_toml_layer(cwd))
     merged.update(_env_layer())
     for k, v in (cli_overrides or {}).items():
         if v is not None:

@@ -94,12 +94,7 @@ def compile_row_constraints(
         # spec declares a stronger type, every row must cast cleanly
         # (schema-on-read mismatch, SURVEY.md §2.1 S5).
         if isinstance(actual, T.StringType) and cs.type not in ("string", "binary"):
-            if cs.type == "date" and cs.format:
-                parsed = F.try_to_timestamp(c, F.lit(_to_spark_fmt(cs.format)))
-            elif cs.type == "datetime" and cs.format:
-                parsed = F.try_to_timestamp(c, F.lit(_to_spark_fmt(cs.format)))
-            else:
-                parsed = c.try_cast(want)
+            parsed = c.try_cast(want)
             out.append(
                 RowConstraint(
                     f"{cs.name}.type",
@@ -163,6 +158,66 @@ def compile_row_constraints(
                     f"{cs.name} <= {cs.maximum}",
                 )
             )
+        # datetime/date `format` conformance on STRING physical columns:
+        # one violation per cause — garbage that fails even the lenient
+        # cast is `.type`'s; a parseable value in the WRONG declared
+        # format is `.format`'s (reference models.py:82-103 declares
+        # format/timezone; the reference never checks data, we do).
+        if (
+            cs.type in ("date", "datetime")
+            and cs.format
+            and isinstance(actual, T.StringType)
+        ):
+            parsed = F.try_to_timestamp(c, F.lit(_to_spark_fmt(cs.format)))
+            out.append(
+                RowConstraint(
+                    f"{cs.name}.format",
+                    c.isNotNull()
+                    & c.try_cast("timestamp").isNotNull()
+                    & parsed.isNull(),
+                    _obs(c),
+                    f"{cs.name} parses with format '{cs.format}'",
+                )
+            )
+        # datetime `timezone` conformance: for string physical columns
+        # the declared timezone is the required literal UTC-offset
+        # suffix ('UTC' accepts Z / +00:00 / +0000). For TIMESTAMP
+        # physical columns both format and timezone are a documented
+        # no-op (Spark timestamps are UTC-normalized instants; the
+        # source offset is not recoverable) — warned once at compile.
+        if (
+            cs.type == "datetime"
+            and cs.timezone
+            and isinstance(actual, T.StringType)
+        ):
+            if cs.timezone.upper() in ("UTC", "Z", "+00:00"):
+                tz_re = r"(Z|\+00:?00)$"
+            else:
+                import re as _re
+
+                tz_re = _re.escape(cs.timezone) + "$"
+            out.append(
+                RowConstraint(
+                    f"{cs.name}.timezone",
+                    c.isNotNull() & ~c.rlike(tz_re),
+                    _obs(c),
+                    f"{cs.name} carries timezone {cs.timezone}",
+                )
+            )
+        if (
+            cs.type in ("date", "datetime")
+            and (cs.format or cs.timezone)
+            and isinstance(actual, (T.TimestampType, T.DateType))
+        ):
+            import warnings as _warnings
+
+            _warnings.warn(
+                f"column '{cs.name}': declared format/timezone is a no-op "
+                f"on a physical {actual.simpleString()} column (already "
+                "parsed; Spark timestamps are UTC-normalized instants)",
+                stacklevel=2,
+            )
+
         if cs.precision is not None and cs.type == "float":
             out.append(
                 RowConstraint(

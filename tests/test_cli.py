@@ -189,3 +189,71 @@ def test_checks_parsing():
     cfg = resolve_config({"checks": "schema, rows", "skip": "rows"})
     assert cfg.checks == ("schema", "rows")
     assert cfg.skip == ("rows",)
+
+
+# --- round-2 parity flags: --version / --json / --config FILE ---------------
+
+
+def test_version_flag(capsys):
+    from py_schemax_spark import __version__
+
+    with pytest.raises(SystemExit) as ei:
+        build_parser().parse_args(["--version"])
+    assert ei.value.code == 0
+    assert __version__ in capsys.readouterr().out
+
+
+def test_json_shorthand_overrides_output_format(spark, table_dir, spec_file,
+                                                capsys):
+    """--json wins over --output-format text (reference cli.py:98-103)."""
+    code = _main(
+        spark,
+        ["validate", table_dir, "--spec", spec_file,
+         "--output-format", "text", "--json", "--check", "schema,rows"],
+    )
+    assert code == 1
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    objs = [json.loads(ln) for ln in lines]
+    assert {o["kind"] for o in objs} >= {"summary"}
+
+
+def test_config_file_flag_provides_defaults(spark, table_dir, spec_file,
+                                            tmp_path, capsys):
+    """--config FILE outside cwd supplies defaults (reference
+    cli.py:80-90); flags still win over the file."""
+    cfgf = tmp_path / "elsewhere.toml"
+    cfgf.write_text("[validate]\nfail_mode = 'never'\n")
+    code = _main(
+        spark,
+        ["validate", table_dir, "--spec", spec_file, "--config", str(cfgf),
+         "--check", "schema,rows"],
+    )
+    assert code == 0  # file's fail_mode=never suppressed the exit
+    assert "fail_mode=never" in capsys.readouterr().err
+    # explicit flag beats the config file
+    code = _main(
+        spark,
+        ["validate", table_dir, "--spec", spec_file, "--config", str(cfgf),
+         "--fail-after", "--check", "schema,rows"],
+    )
+    assert code == 1
+
+
+def test_config_file_flag_invalid_exits_2(spark, table_dir, spec_file,
+                                          tmp_path, capsys):
+    code = _main(
+        spark,
+        ["validate", table_dir, "--spec", spec_file,
+         "--config", str(tmp_path / "missing.toml")],
+    )
+    assert code == 2
+    assert "config files are valid" in capsys.readouterr().err
+
+
+def test_config_file_first_valid_wins(tmp_path):
+    bad = tmp_path / "empty.toml"
+    bad.write_text("")
+    good = tmp_path / "good.toml"
+    good.write_text("[validate]\noutput_format = 'json'\n")
+    cfg = resolve_config({}, config_files=(str(bad), str(good)))
+    assert cfg.output_format == "json"

@@ -261,3 +261,55 @@ def test_schema_conformance_missing_and_extra(spark):
     kinds = {(e["type"], e["error_at"]) for e in errs}
     assert ("missing", "$.gone") in kinds
     assert ("extra_forbidden", "$.surprise") in kinds
+
+
+def test_datetime_declared_format_and_timezone_enforced(spark):
+    """Round-2: format/timezone on string physical columns are REAL
+    checks — one violation per cause (.type for garbage, .format for
+    parseable-but-wrong-format, .timezone for wrong offset suffix)."""
+    df = spark.createDataFrame(
+        [
+            ("k1", "2024-01-02 03:04:05", "2024-01-02 03:04:05Z"),
+            ("k2", "2024-01-02T03:04:05", "2024-01-02 03:04:05+00:00"),
+            ("k3", "garbage", "2024-01-02 03:04:05+02:00"),
+            ("k4", None, None),
+        ],
+        ["id", "ts", "tz"],
+    )
+    spec = _spec(
+        {
+            "fqn": "t", "key": "id",
+            "columns": [
+                {"name": "id", "type": "string"},
+                {"name": "ts", "type": "datetime",
+                 "format": "%Y-%m-%d %H:%M:%S"},
+                {"name": "tz", "type": "datetime", "timezone": "UTC"},
+            ],
+        }
+    )
+    got = sorted((r["id"], r["constraint_id"])
+                 for r in row_violations(df, spec).collect())
+    assert got == [("k2", "ts.format"), ("k3", "ts.type"),
+                   ("k3", "tz.timezone")]
+
+
+def test_datetime_format_on_timestamp_column_warns_noop(spark):
+    import warnings
+
+    df = spark.createDataFrame(
+        [("k1",)], ["id"]
+    ).withColumn("ts", F.current_timestamp())
+    spec = _spec(
+        {
+            "fqn": "t", "key": "id",
+            "columns": [
+                {"name": "id", "type": "string"},
+                {"name": "ts", "type": "datetime",
+                 "format": "%Y-%m-%d %H:%M:%S", "timezone": "UTC"},
+            ],
+        }
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert row_violations(df, spec).count() == 0
+        assert any("no-op" in str(x.message) for x in w)
