@@ -274,8 +274,23 @@ def main() -> None:
             # shuffle partitions = the level's task slots (1/core),
             # the standard sizing for a cluster of that width, AQE
             # coalesces further at runtime
+            # taskset confines the ENTIRE child process tree — JVM,
+            # python-UDF workers, Arrow IPC — to exactly the level's
+            # cores, like a real N-core executor node. Without it the
+            # python workers (extraction!) escape the JVM's
+            # ActiveProcessorCount pin and borrow idle host cores,
+            # inflating the small level's throughput and understating
+            # efficiency.
+            import shutil
+
+            pin = (
+                [shutil.which("taskset"), "-c", f"0-{n_cores - 1}"]
+                if shutil.which("taskset")
+                else []
+            )
             proc = subprocess.run(
-                [
+                pin
+                + [
                     sys.executable, __file__, "--scale-child",
                     str(n_cores), str(SCALE_ROWS), str(SCALE_WORDS),
                     big_path, warm_path, baseline_path,

@@ -79,13 +79,62 @@ def extract_text_py(html: Optional[bytes]) -> Optional[str]:
         return None
 
 
+def _extract_series(html: pd.Series) -> pd.Series:
+    """Batch extraction with a pyarrow-vectorized fast path: rows whose
+    payload starts with the template prefix and ends with the suffix
+    (the overwhelmingly common case) are sliced, unescaped, and
+    UTF-8-validated entirely in Arrow C kernels — zero per-row Python.
+    Non-conforming rows (corrupt blobs, junk-wrapped templates, nulls)
+    fall back to ``extract_text_py`` individually, so the result is
+    byte-identical to the pure-Python reference for EVERY input
+    (pytest asserts this equivalence)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    try:
+        arr = pa.array(html, type=pa.binary())
+    except Exception:
+        return html.map(extract_text_py, na_action="ignore")
+    ok = pc.and_kleene(
+        pc.starts_with(arr, pattern=_PRE), pc.ends_with(arr, pattern=_POST)
+    )
+    ok = pc.and_kleene(
+        ok, pc.greater_equal(pc.binary_length(arr), len(_PRE) + len(_POST))
+    )
+    ok = pc.fill_null(ok, False)
+    body = pc.if_else(
+        ok,
+        pc.binary_slice(arr, start=len(_PRE), stop=-len(_POST)),
+        pa.scalar(b"", type=pa.binary()),
+    )
+    try:
+        s = pc.cast(body, pa.string())
+    except Exception:
+        # invalid UTF-8 inside a conforming template — rare; the
+        # per-row path returns None for exactly those rows
+        return html.map(extract_text_py, na_action="ignore")
+    # unescape in reverse render order (&amp; LAST, see _ESCAPES)
+    for raw, esc in reversed(_ESCAPES):
+        s = pc.replace_substring(
+            s, pattern=esc.decode(), replacement=raw.decode()
+        )
+    out = s.to_pandas()
+    ok_np = ok.to_numpy(zero_copy_only=False)
+    if not ok_np.all():
+        vals = html.to_numpy(dtype=object)
+        for i in np.nonzero(~ok_np)[0]:
+            out.iloc[i] = extract_text_py(vals[i])
+    return out
+
+
 @pandas_udf(T.StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
     """Arrow-batched extraction: one Python invocation per record
-    batch, byte-level work inside. Arrow hands binary columns to
-    pandas as ``bytes`` objects, so ``extract_text_py`` applies
-    unchanged and the bytes→str decode is explicit UTF-8."""
-    return html.map(extract_text_py, na_action="ignore")
+    batch; the template fast path runs in pyarrow C kernels (see
+    ``_extract_series``), per-row Python only for non-conforming
+    payloads."""
+    return _extract_series(html)
 
 
 @pandas_udf(T.StringType())
@@ -98,12 +147,18 @@ def extract_mismatch_udf(html: pd.Series, text: pd.Series) -> pd.Series:
     Returning ~1 null byte per clean row instead of shipping every
     extracted string back through Arrow for a JVM-side compare halves
     the Arrow traffic of the dominant python stage; the violation
-    text survives only for the rare mismatching row."""
-    out = []
-    for h, t in zip(html, text):
-        ex = extract_text_py(h) if h is not None else None
-        if ex == (t if t is not None else None):
-            out.append(None)
-        else:
-            out.append(ex if ex is not None else "<unextractable>")
-    return pd.Series(out, dtype=object)
+    text survives only for the rare mismatching row. Extraction AND
+    the equality compare are vectorized (Arrow kernels + pandas);
+    per-row Python touches only non-conforming or mismatching rows."""
+    import numpy as np
+
+    ex = _extract_series(html)
+    eq = (ex == text) | (ex.isna() & text.isna())
+    n = len(ex)
+    res: list = [None] * n
+    if not bool(eq.all()):
+        ex_np = ex.to_numpy(dtype=object)
+        for i in np.nonzero(~eq.to_numpy(dtype=bool))[0]:
+            e = ex_np[i]
+            res[i] = e if e is not None else "<unextractable>"
+    return pd.Series(res, dtype=object)

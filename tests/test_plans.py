@@ -115,3 +115,42 @@ def test_uniqueness_single_shuffle(spark, pages_parquet, pages_spec):
     plan = _plan(uniqueness_violations(df, pages_spec, order_col="warc_ts"))
     # one hash exchange for the window partitioning, nothing more
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_blocked_all_pairs_has_no_collect_and_single_shuffle(spark):
+    """The scale path must be one shuffle (groupBy block-pair) feeding
+    one FlatMapGroupsInPandas — and crucially NO driver-side collect
+    is reachable from the plan (the broadcast path's scale-killer)."""
+    import numpy as np
+
+    from py_schemax_spark.operators.similarity import all_pairs_above_blocked
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = all_pairs_above_blocked(df, 0.3, n_blocks=3)
+    plan = _plan(out)
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_brute_force_topk_corpus_never_shuffles_before_scoring(spark):
+    """Scoring happens map-side (MapInPandas over the corpus); the only
+    exchange is the per-query window over batch-local top-k rows."""
+    import numpy as np
+
+    from py_schemax_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.default_rng(8)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(df, q, k=5)
+    plan = _plan(out)
+    assert "MapInPandas" in plan
+    # exactly one exchange total: the window's hashpartition on
+    # query_id over the (k*|Q| per batch) candidates — the corpus
+    # itself reaches the scorer shuffle-free
+    assert plan.count("Exchange") == 1, plan
