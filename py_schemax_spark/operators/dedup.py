@@ -206,13 +206,25 @@ def minhash_udf(num_hashes: int = 64, shingle_n: int = 5):
             lengths = np.fromiter((c.size for c in pend), dtype=np.int64,
                                   count=len(pend))
             flat = np.concatenate(pend)
-            with np.errstate(over="ignore"):
-                derived = a[:, None] * flat[None, :] + b[:, None]
             offsets = np.zeros(len(lengths), dtype=np.int64)
             np.cumsum(lengths[:-1], out=offsets[1:])
-            # empty rows can't occur: _shingle_codes pads to >= 1 window
-            mins = np.minimum.reduceat(derived, offsets, axis=1)
-            out.extend(list(mins.view(np.int64).T))
+            # K passes over ONE reusable S-sized buffer instead of a
+            # (K × S) broadcast matrix: same flops, but no multi-
+            # hundred-MB fresh allocation per batch — large first-touch
+            # allocations page-fault pathologically under memory
+            # pressure (measured 15s vs 0.6s for identical element
+            # counts on this host), and a real executor shares its
+            # pages with the JVM heap just the same.
+            buf = np.empty(flat.size, dtype=np.uint64)
+            sigs = np.empty((len(lengths), num_hashes), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for k in range(num_hashes):
+                    np.multiply(flat, a[k], out=buf)
+                    np.add(buf, b[k], out=buf)
+                    # empty rows can't occur: _shingle_codes pads to
+                    # >= 1 window
+                    sigs[:, k] = np.minimum.reduceat(buf, offsets)
+            out.extend(list(sigs.view(np.int64)))
             pend, pend_sh = [], 0
 
         for t in texts:
