@@ -222,6 +222,87 @@ def q_exact_dedup(spark, sf_dir):
     )
 
 
+def q_passage_dedup(spark, sf_dir):
+    """Passage-level exact dedup (the training-data flavor of substring
+    dedup): non-overlapping 20-token windows hashed and grouped; a
+    passage appearing in >1 distinct document is duplicated content.
+    Runs on the dup-injected corpus so duplicates deterministically
+    exist. Scale shape: explode multiplies rows by ~n_tokens/20, the
+    groupBy shuffles (md5, row_id) pairs with map-side combine."""
+    W = 20
+    d = _dup_injected(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_pass = F.floor(F.size(toks) / W).cast("int")
+    passages = F.when(
+        n_pass > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_pass - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * W + 1, W)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = d.select("row_id", F.explode(passages).alias("passage"))
+    return (
+        ex.groupBy(F.md5("passage").alias("passage_md5"))
+        .agg(
+            F.count_distinct("row_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("row_id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def q_dedup_keep_first(spark, sf_dir):
+    """Survivor set of exact content dedup (min-key copy wins): the
+    complement view of exact_dedup, returning the kept row ids."""
+    from py_schemax_spark.operators.dedup import exact_dedup_keep_first
+
+    dup = _dup_injected(spark, sf_dir).filter(F.col("text").isNotNull())
+    return exact_dedup_keep_first(dup, text_col="text", key_col="row_id") \
+        .select("row_id")
+
+
+def q_domain_stats(spark, sf_dir):
+    """Web-corpus domain analysis: pages per domain, total text volume,
+    distinct languages — pure groupBy over a regexp-extracted domain
+    (a partition-prunable dimension in a real crawl layout)."""
+    pages = pages_from_documents(spark, sf_dir)
+    dom = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    return pages.groupBy(dom.alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
+def q_quality_topk_per_lang(spark, sf_dir):
+    """Training-data curation: keep the top-5 documents per language by
+    an integer-exact quality metric (stopword density in basis points,
+    ties broken by doc_id) — the per-group window selection every
+    corpus-filtering pipeline runs."""
+    from pyspark.sql import Window
+
+    from py_schemax_spark.operators.textstats import stopword_hits
+
+    d = _docs(spark, sf_dir).filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    lc = F.lower(F.col("text"))
+    hits = stopword_hits(lc, ["the", "a", "and", "of", "to"])
+    n = token_count(lc)
+    scored = d.select(
+        "lang", "doc_id",
+        F.floor(hits * 10000 / n).cast("long").alias("quality_bp"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality_bp").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
 def q_drift_buckets(spark, sf_dir):
     """Exact drift histogram (fixed-width buckets of n_chars) — the
     SQL-checkable companion of the t-digest PSI/KS path (q_drift_psi)."""
@@ -654,6 +735,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_violations": q_pages_violations,
         "datetime_conformance": q_datetime_conformance,
         "exact_dedup": q_exact_dedup,
+        "passage_dedup": q_passage_dedup,
+        "dedup_keep_first": q_dedup_keep_first,
+        "domain_stats": q_domain_stats,
+        "quality_topk_per_lang": q_quality_topk_per_lang,
         "drift_buckets": q_drift_buckets,
         "drift_psi": q_drift_psi,
         "pricing_summary": q_pricing_summary,
@@ -843,6 +928,64 @@ FROM d WHERE ts_tz IS NOT NULL
     drift_buckets_sql = """
 SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket, count(*) AS cnt
 FROM documents GROUP BY 1
+"""
+
+    passage_dedup_sql = f"""
+WITH {_DUP_SQL_CTE.strip()},
+t AS (
+  SELECT row_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM dupdocs WHERE text IS NOT NULL
+),
+p AS (
+  SELECT row_id,
+         unnest(list_transform(
+             range(0, CAST(floor(len(toks) / 20) AS BIGINT)),
+             i -> array_to_string(toks[(i*20+1):(i*20+20)], ' '))) AS passage
+  FROM t
+)
+SELECT md5(passage) AS passage_md5,
+       count(DISTINCT row_id) AS n_docs,
+       count(*) AS n_occurrences,
+       min(row_id) AS keeper
+FROM p GROUP BY 1 HAVING count(DISTINCT row_id) > 1
+"""
+
+    dedup_keep_first_sql = f"""
+WITH {_DUP_SQL_CTE.strip()}
+SELECT row_id FROM (
+  SELECT row_id,
+         row_number() OVER (PARTITION BY md5({_NORM_SQL})
+                            ORDER BY row_id ASC) AS rn
+  FROM dupdocs WHERE text IS NOT NULL
+) WHERE rn = 1
+"""
+
+    domain_stats_sql = f"""
+WITH {PAGES_SQL_CTE.strip()}
+SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+       count(*) AS n_pages,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       count(DISTINCT lang) AS n_langs
+FROM pages GROUP BY 1
+"""
+
+    quality_topk_sql = r"""
+SELECT lang, doc_id, quality_bp, rank FROM (
+  SELECT lang, doc_id,
+         CAST(floor(len(list_filter(
+                 string_split_regex(trim(lower(text)), '\s+'),
+                 x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 10000
+               / len(string_split_regex(trim(lower(text)), '\s+')))
+           AS BIGINT) AS quality_bp,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY floor(len(list_filter(
+                      string_split_regex(trim(lower(text)), '\s+'),
+                      x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 10000
+                    / len(string_split_regex(trim(lower(text)), '\s+')))
+                    DESC, doc_id ASC) AS rank
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+) WHERE rank <= 5
 """
 
     pricing_sql = """
@@ -1061,6 +1204,10 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         "pages_violations": pages_viol_sql,
         "datetime_conformance": datetime_conformance_sql,
         "exact_dedup": exact_dedup_sql,
+        "passage_dedup": passage_dedup_sql,
+        "dedup_keep_first": dedup_keep_first_sql,
+        "domain_stats": domain_stats_sql,
+        "quality_topk_per_lang": quality_topk_sql,
         "drift_buckets": drift_buckets_sql,
         "pricing_summary": pricing_sql,
         "revenue_by_nation": revenue_nation_sql,
