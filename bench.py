@@ -231,7 +231,8 @@ def main() -> None:
         "stats", "row_violations", "uniqueness", "exact_dedup",
         "pricing_summary", "revenue_by_nation", "top_event_by_user",
         "token_counts", "fingerprint", "ann_pairs", "minhash_candidates",
-        "simhash", "extraction",
+        "simhash", "extraction", "datetime_conformance", "ngram_jaccard",
+        "passage_dedup", "quality_topk_per_lang",
     ]
     queries = entrymod.queries()
     from py_schemax_spark.operators.dedup import unpersist_intermediates
@@ -439,6 +440,30 @@ Round-2 protocol changes vs round 1 (which recorded 0.762 with
    evaluation.
 4. **5 trials, best + median both recorded** — the numbers above are
    directly comparable across rounds via `trials_sec`.
+
+## Multi-executor topology cross-check (local-cluster, round 2)
+
+The north rule's deployment mode — `spark-submit --py-files` on a
+multi-executor cluster — was exercised end-to-end with REAL separate
+executor JVMs: `local-cluster[N,1,4096]` at N=2 and N=8 (1 core / 3g
+each), the package shipped to executors as a zip via
+`sc.addPyFile(tools/package.build())` (executors have no repo on
+sys.path — exactly the --py-files contract), netty shuffle between
+JVMs. Both sizes produced IDENTICAL verdicts to the local[N] runs
+(302,712 violations / 8,982 partitions on the same stored 8M-doc
+table): 2 executors 40.3s best (unpinned JVMs) / 34.3s (executor JVMs
+pinned with -XX:ActiveProcessorCount=1), 8 executors 14.6s / 17.4s.
+
+The efficiency RATIO from this mode (0.69 / 0.49) is NOT core-honest
+on a single box and is not the recorded criterion: executor python-UDF
+workers are separate processes that cannot be confined without also
+starving the co-located master/worker/driver control plane (taskset
+of the whole tree made 2-core executors miss heartbeats), so the
+small level silently borrows idle host cores and the ratio is
+understated. The taskset-pinned local[N] protocol above — where the
+entire process tree shares exactly N cores, like a real N-core
+executor node — is the honest single-box emulation and the recorded
+number.
 
 Reading: per-phase round-1 decomposition (rows 0.71, uniqueness 0.72,
 extraction 0.61 in ISOLATED pinned JVMs) identified Arrow extraction

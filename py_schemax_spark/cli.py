@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     # FILES: parse, structure, unique fqn, dependency existence, cycles
     c = sub.add_parser("check-specs", help="validate constraint-spec files")
     c.add_argument("specs", nargs="*", help="spec file paths (or stdin)")
+    c.add_argument("--fail-mode", dest="fail_mode_choice",
+                   choices=("after", "fast", "never"), default=None)
+    c.add_argument("--output-level", dest="output_level_choice",
+                   choices=("silent", "quiet", "verbose"), default=None)
     cfm = c.add_mutually_exclusive_group()
     cfm.add_argument("--fail-after", dest="fail_mode", action="store_const",
                      const="after")
@@ -61,7 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
                      const="fast")
     cfm.add_argument("--fail-never", dest="fail_mode", action="store_const",
                      const="never")
-    c.add_argument("--output-format", choices=("text", "json"), default=None)
+    c.add_argument("--output-format", "--out", choices=("text", "json"),
+                   default=None)
     c.add_argument("--json", dest="use_json", action="store_true",
                    help="JSON output; overrides --output-format "
                         "(reference cli.py:98-103)")
@@ -93,6 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma list of constraint classes to run")
     v.add_argument("--skip", default=None,
                    help="comma list of constraint classes to skip")
+    v.add_argument("--fail-mode", dest="fail_mode_choice",
+                   choices=("after", "fast", "never"), default=None)
+    v.add_argument("--output-level", dest="output_level_choice",
+                   choices=("silent", "quiet", "verbose"), default=None)
     fm = v.add_mutually_exclusive_group()
     fm.add_argument("--fail-after", dest="fail_mode", action="store_const",
                     const="after")
@@ -100,7 +109,8 @@ def build_parser() -> argparse.ArgumentParser:
                     const="fast")
     fm.add_argument("--fail-never", dest="fail_mode", action="store_const",
                     const="never")
-    v.add_argument("--output-format", choices=("text", "json"), default=None)
+    v.add_argument("--output-format", "--out", choices=("text", "json"),
+                   default=None)
     v.add_argument("--json", dest="use_json", action="store_true",
                    help="JSON output; overrides --output-format "
                         "(reference cli.py:98-103)")
@@ -149,8 +159,8 @@ def check_specs_main(ns) -> int:
                 "output_format": (
                     "json" if ns.use_json else ns.output_format
                 ),
-                "output_level": ns.output_level,
-                "fail_mode": ns.fail_mode,
+                "output_level": ns.output_level or ns.output_level_choice,
+                "fail_mode": ns.fail_mode or ns.fail_mode_choice,
                 "required_attributes": ns.required_attributes,
                 "column_required_attributes": ns.column_required_attributes,
             },
@@ -219,8 +229,8 @@ def main(argv: Optional[list[str]] = None, spark=None) -> int:
                 "output_format": (
                     "json" if ns.use_json else ns.output_format
                 ),
-                "output_level": ns.output_level,
-                "fail_mode": ns.fail_mode,
+                "output_level": ns.output_level or ns.output_level_choice,
+                "fail_mode": ns.fail_mode or ns.fail_mode_choice,
                 "checks": ns.checks,
                 "skip": ns.skip,
                 "checkpoint_dir": ns.checkpoint_dir,

@@ -257,3 +257,33 @@ def test_config_file_first_valid_wins(tmp_path):
     good.write_text("[validate]\noutput_format = 'json'\n")
     cfg = resolve_config({}, config_files=(str(bad), str(good)))
     assert cfg.output_format == "json"
+
+
+def test_out_alias_and_choice_flags(spark, table_dir, spec_file, capsys):
+    """--out (reference's flag name), --output-level and --fail-mode
+    choice variants; shortcut flags override the choices (reference
+    click semantics)."""
+    code = _main(
+        spark,
+        ["validate", table_dir, "--spec", spec_file, "--out", "json",
+         "--fail-mode", "never", "--check", "schema,rows"],
+    )
+    assert code == 0  # fail-mode never suppressed exit
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert all(json.loads(ln) for ln in lines)
+    # shortcut overrides choice: --fail-fast beats --fail-mode never
+    code = _main(
+        spark,
+        ["validate", table_dir, "--spec", spec_file,
+         "--fail-mode", "never", "--fail-fast", "--check", "schema,rows"],
+    )
+    assert code == 1
+    capsys.readouterr()  # drain the fail-fast run's output
+    # --silent beats --output-level verbose
+    code = _main(
+        spark,
+        ["validate", table_dir, "--spec", spec_file, "--silent",
+         "--output-level", "verbose", "--check", "schema,rows"],
+    )
+    assert code == 1
+    assert capsys.readouterr().out == ""
