@@ -213,6 +213,7 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 12,
     seed: int = 42,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -223,22 +224,47 @@ def lsh_topk(
     Scale shape: corpus scanned once to attach bucket ids (pure
     projection), then a bucket-equality join replaces the all-pairs
     product — candidate count ≈ n/2^planes per query per table.
-    Recall < 1.0 by construction; raise via multiple (seeded) tables
-    unioned, or use as the pre-filter before brute-force rerank."""
+    Recall < 1.0 by construction; ``n_tables`` independent plane sets
+    (distinct derived seeds) multiply the candidate sets — a vector
+    missed by one table is caught by another, the standard LSH
+    recall/cost dial. Candidates are deduped before ranking, so
+    results with T tables are a superset-of-candidates refinement of
+    T=1, and still exact-cosine-ranked."""
     from pyspark.sql import Window
+
+    def tabs(vec):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        hyperplane_bucket(
+                            vec, dim, n_planes, seed + 7919 * t
+                        ).alias("b"),
+                    )
+                    for t in range(max(n_tables, 1))
+                ]
+            )
+        )
 
     c = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-        hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+        tabs(F.col(vec_col)).alias("tb"),
+    ).select(
+        "vec_id", "vec",
+        F.col("tb.t").alias("t"), F.col("tb.b").alias("bucket"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+        tabs(F.col(vec_col)).alias("tb"),
+    ).select(
+        "query_id", "qvec",
+        F.col("tb.t").alias("t"), F.col("tb.b").alias("bucket"),
     )
     sim = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["t", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -248,6 +274,10 @@ def lsh_topk(
             ).alias("sim"),
         )
     )
+    if n_tables > 1:
+        # a pair colliding in several tables appears once per table;
+        # sim is identical, so distinct dedupes exactly
+        sim = sim.distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("vec_id").asc()
     )

@@ -366,3 +366,31 @@ def test_all_pairs_blocked_matches_broadcast(spark, vectors):
     # the gate routes big corpora to the blocked path
     gated = norm(all_pairs_above_np(vectors, 0.5, max_broadcast_rows=1))
     assert gated == bc
+
+
+def test_lsh_multi_table_recall_dominates_single(spark, vectors):
+    """T independent plane tables can only ADD candidates: recall vs
+    brute force is monotone in n_tables, and every T=1 result pair
+    survives in T=3 (superset-of-candidates refinement)."""
+    from py_schemax_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    q = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(vectors, q, k=5).collect()
+    }
+
+    def pairs(n_tables):
+        return {
+            (r["query_id"], r["vec_id"])
+            for r in lsh_topk(vectors, q, dim=16, k=5, n_planes=6,
+                              n_tables=n_tables).collect()
+        }
+
+    p1, p3 = pairs(1), pairs(3)
+    recall1 = len(p1 & exact) / len(exact)
+    recall3 = len(p3 & exact) / len(exact)
+    assert recall3 >= recall1
+    assert len(p3) >= len(p1)
