@@ -168,6 +168,17 @@ def q_stats_salted(spark, sf_dir):
     return column_stats(_docs(spark, sf_dir), DOCS_SPEC, salt=8)
 
 
+def q_stats_salted_exact(spark, sf_dir):
+    """The salted two-phase production stats path, ORACLED on its
+    exact metrics: every metric except the HLL `distinct` estimate
+    must match the single-pass oracle bit-for-bit (the salt shuffle
+    changes the plan, not the arithmetic — counts/min/max/sums are
+    integer-or-order-free)."""
+    return column_stats(_docs(spark, sf_dir), DOCS_SPEC, salt=8).filter(
+        F.col("metric") != "distinct"
+    )
+
+
 def q_row_violations(spark, sf_dir):
     """V1/V8/V9: row-level constraint violations over documents."""
     return row_violations(_docs(spark, sf_dir), DOCS_SPEC)
@@ -728,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats": q_stats,
         "stats_salted": q_stats_salted,
+        "stats_salted_exact": q_stats_salted_exact,
         "row_violations": q_row_violations,
         "referential": q_referential,
         "uniqueness": q_uniqueness,
@@ -774,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     stats_parts = []
+    distinct_parts = []
     for col, typ in [
         ("doc_id", "num"), ("text", "str"), ("lang", "str"),
         ("source", "str"), ("n_chars", "num"),
@@ -792,7 +805,7 @@ def oracle_sql() -> dict[str, str]:
         stats_parts.append(
             f"SELECT '{col}', 'max', CAST(max({col}) AS VARCHAR) FROM documents"
         )
-        stats_parts.append(
+        distinct_parts.append(
             f"SELECT '{col}', 'distinct', CAST(count(DISTINCT {col}) "
             f"AS VARCHAR) FROM documents"
         )
@@ -818,7 +831,11 @@ def oracle_sql() -> dict[str, str]:
                 f"SELECT '{col}', 'avg', CAST(round(avg({col}), 4) AS VARCHAR) "
                 f"FROM documents"
             )
-    stats_sql = " UNION ALL ".join(stats_parts)
+    # plain stats = exact metrics + exact distinct; the salted
+    # production path is oracled on the exact metrics only (its
+    # `distinct` is an HLL estimate)
+    stats_sql = " UNION ALL ".join(stats_parts + distinct_parts)
+    stats_salted_exact_sql = " UNION ALL ".join(stats_parts)
 
     row_viol_sql = """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'text.min_length' AS constraint_id,
@@ -1197,6 +1214,7 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
     return {
         "stats": stats_sql,
+        "stats_salted_exact": stats_salted_exact_sql,
         "row_violations": row_viol_sql,
         "referential": referential_sql,
         "uniqueness": uniqueness_sql,
