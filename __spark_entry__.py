@@ -735,6 +735,29 @@ def q_image_meta(spark, sf_dir):
     return image_metadata(pages, key_col="url", payload_col="html")
 
 
+def q_image_resize(spark, sf_dir):
+    """Multimodal resize plumbing: binary payload → decoded (stubbed
+    deterministic fake) → nearest-neighbor 8×8 downsample → pixel
+    bytes; rows-only (engine-internal bytes), the Spark-side schema /
+    batching / vectorized-resize shape is the real contract."""
+    from py_schemax_spark.operators.multimodal import resize_images
+
+    pages = pages_from_documents(spark, sf_dir)
+    return resize_images(pages, target=(8, 8), key_col="url",
+                         payload_col="html")
+
+
+def q_frame_sample(spark, sf_dir):
+    """Multimodal frame-sampling fan-out plan (video analogue):
+    deterministic frame indices per payload, one row per sampled
+    frame. ORACLED: the fan-out is a pure function of payload size."""
+    from py_schemax_spark.operators.multimodal import frame_sample_plan
+
+    pages = pages_from_documents(spark, sf_dir)
+    return frame_sample_plan(pages, every_n=7, key_col="url",
+                             payload_col="html")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats": q_stats,
@@ -777,6 +800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "simhash": q_simhash,
         "image_meta": q_image_meta,
+        "image_resize": q_image_resize,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -1202,6 +1227,13 @@ SELECT query_id, vec_id, sim, rank FROM (
         "FROM best b JOIN documents d USING (doc_id) WHERE rn = 1"
     )
 
+    frame_sample_sql = f"""
+WITH {PAGES_SQL_CTE.strip()}
+SELECT url AS key,
+       unnest(range(0, strlen(html_str) // 100 + 1, 7)) AS frame_index
+FROM pages WHERE html_str IS NOT NULL
+"""
+
     ann_pairs_sql = """
 SELECT a.vec_id AS key_a, b.vec_id AS key_b,
        CAST(floor(list_cosine_similarity(
@@ -1241,6 +1273,7 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         "fingerprint": fingerprint_sql,
         "ngram_jaccard": ngram_jaccard_sql,
         "minhash_containment": minhash_containment_sql,
+        "frame_sample": frame_sample_sql,
         "ann_pairs": ann_pairs_sql,
         "ann_pairs_blocked": ann_pairs_sql,
         "ann_topk": ann_topk_sql,
