@@ -314,6 +314,23 @@ def q_quality_topk_per_lang(spark, sf_dir):
     )
 
 
+def q_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles of n_chars (the column the drift
+    class sketches with t-digest): the EXACT companion the sketch
+    estimates are judged against. Both engines use the same
+    linear-interpolation definition (Spark `percentile` ==
+    DuckDB `quantile_cont`); values floor-scaled to 1e-4 so a last-ulp
+    interpolation difference cannot flip the hash."""
+    d = _docs(spark, sf_dir)
+    probs = [0.25, 0.5, 0.75, 0.95]
+    aggs = [
+        F.floor(F.percentile("n_chars", F.lit(p)) * 10000)
+        .cast("long").alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    return d.agg(*aggs)
+
+
 def q_drift_buckets(spark, sf_dir):
     """Exact drift histogram (fixed-width buckets of n_chars) — the
     SQL-checkable companion of the t-digest PSI/KS path (q_drift_psi)."""
@@ -774,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": q_dedup_keep_first,
         "domain_stats": q_domain_stats,
         "quality_topk_per_lang": q_quality_topk_per_lang,
+        "quantiles": q_quantiles,
         "drift_buckets": q_drift_buckets,
         "drift_psi": q_drift_psi,
         "pricing_summary": q_pricing_summary,
@@ -965,6 +983,14 @@ SELECT CAST(event_id AS VARCHAR), 'ts_tz.timezone', substr(ts_tz, 1, 256),
        'ts_tz carries timezone UTC'
 FROM d WHERE ts_tz IS NOT NULL
         AND NOT regexp_matches(ts_tz, '(Z|\+00:?00)$')
+"""
+
+    quantiles_sql = """
+SELECT CAST(floor(quantile_cont(n_chars, 0.25) * 10000) AS BIGINT) AS p25,
+       CAST(floor(quantile_cont(n_chars, 0.50) * 10000) AS BIGINT) AS p50,
+       CAST(floor(quantile_cont(n_chars, 0.75) * 10000) AS BIGINT) AS p75,
+       CAST(floor(quantile_cont(n_chars, 0.95) * 10000) AS BIGINT) AS p95
+FROM documents
 """
 
     drift_buckets_sql = """
@@ -1258,6 +1284,7 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         "dedup_keep_first": dedup_keep_first_sql,
         "domain_stats": domain_stats_sql,
         "quality_topk_per_lang": quality_topk_sql,
+        "quantiles": quantiles_sql,
         "drift_buckets": drift_buckets_sql,
         "pricing_summary": pricing_sql,
         "revenue_by_nation": revenue_nation_sql,
