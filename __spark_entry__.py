@@ -32,7 +32,6 @@ from py_schemax_spark.operators.referential import referential_violations
 from py_schemax_spark.operators.similarity import (
     brute_force_topk,
     lsh_topk,
-    similarity_pairs_above,
 )
 from py_schemax_spark.operators.stats import column_stats
 from py_schemax_spark.operators.textstats import (

@@ -18,7 +18,7 @@ Enums mirror reference config.py:7-21:
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Optional
 
