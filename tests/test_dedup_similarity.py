@@ -394,3 +394,42 @@ def test_lsh_multi_table_recall_dominates_single(spark, vectors):
     recall3 = len(p3 & exact) / len(exact)
     assert recall3 >= recall1
     assert len(p3) >= len(p1)
+
+
+def test_all_pairs_blocked_exactly_once_across_configs(spark):
+    """Property sweep: across corpus sizes / dims / block counts /
+    thresholds (including below -1 = every pair), the blocked
+    decomposition
+    emits each unordered pair EXACTLY once and matches the broadcast
+    path bit-for-bit."""
+    import numpy as np
+
+    from py_schemax_spark.operators.similarity import (
+        _all_pairs_above_broadcast,
+        all_pairs_above_blocked,
+    )
+
+    for seed, n, dim, blocks, thr in [
+        (1, 80, 4, 2, 0.3),
+        (2, 120, 12, 5, 0.6),
+        (3, 40, 8, 7, -1.1),  # every pair must appear exactly once
+        (4, 30, 6, 1, 0.2),   # single block = one self-pair group
+    ]:
+        rng = np.random.default_rng(seed)
+        rows = [(i, [float(x) for x in rng.normal(0, 1, dim)])
+                for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        bc = sorted(
+            (r["key_a"], r["key_b"], round(r["sim"], 9))
+            for r in _all_pairs_above_broadcast(df, thr).collect()
+        )
+        bl = sorted(
+            (r["key_a"], r["key_b"], round(r["sim"], 9))
+            for r in all_pairs_above_blocked(df, thr,
+                                             n_blocks=blocks).collect()
+        )
+        assert bc == bl, (seed, n, dim, blocks, thr)
+        if thr < -1.0:
+            assert len(bl) == n * (n - 1) // 2
