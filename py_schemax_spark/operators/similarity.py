@@ -145,7 +145,8 @@ def brute_force_topk(
             yield out[np.isfinite(out["sim"])]
 
     cand = (
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .mapInPandas(partial_topk, out_schema)
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -463,7 +464,10 @@ def _all_pairs_above_broadcast(
     from pyspark.sql import types as T
     from typing import Iterator
 
-    rows = df.select(id_col, vec_col).collect()
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col).collect()
+    )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
@@ -502,7 +506,7 @@ def _all_pairs_above_broadcast(
         1,
         min(df.sparkSession.sparkContext.defaultParallelism, len(ids) // 2000),
     )
-    pruned = df.select(
+    pruned = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).repartition(par)
     return pruned.mapInPandas(compute, out_schema)
@@ -536,7 +540,7 @@ def all_pairs_above_blocked(
     from pyspark.sql import types as T
 
     B = n_blocks
-    tagged = df.select(
+    tagged = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_blk"),

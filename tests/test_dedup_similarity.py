@@ -433,3 +433,27 @@ def test_all_pairs_blocked_exactly_once_across_configs(spark):
         assert bc == bl, (seed, n, dim, blocks, thr)
         if thr < -1.0:
             assert len(bl) == n * (n - 1) // 2
+
+
+def test_similarity_paths_null_embedding_safe(spark):
+    """Null embeddings are dropped (not crashed on) by every
+    similarity strategy — a pages-style corpus always has null rows."""
+    import numpy as np
+
+    from py_schemax_spark.operators.similarity import (
+        _all_pairs_above_broadcast,
+        all_pairs_above_blocked,
+        brute_force_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 4)]) for i in range(20)]
+    rows += [(98, None), (99, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bc = _all_pairs_above_broadcast(df, -1.1).count()
+    bl = all_pairs_above_blocked(df, -1.1, n_blocks=3).count()
+    assert bc == bl == 20 * 19 // 2
+    q = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert brute_force_topk(df, q, k=3).count() == 6
