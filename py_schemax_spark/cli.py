@@ -274,14 +274,18 @@ def main(argv: Optional[list[str]] = None, spark=None) -> int:
         baseline = (
             spark.read.parquet(ns.baseline) if ns.baseline else None
         )
-        rc = RunConfig(
-            checks=cfg.checks or RunConfig.checks,
-            skip=cfg.skip,
-            fail_mode=cfg.fail_mode,
-            order_col=cfg.order_col,
-            checkpoint_dir=cfg.checkpoint_dir,
-            salt=cfg.salt,
-        )
+        try:
+            rc = RunConfig(
+                checks=cfg.checks or RunConfig.checks,
+                skip=cfg.skip,
+                fail_mode=cfg.fail_mode,
+                order_col=cfg.order_col,
+                checkpoint_dir=cfg.checkpoint_dir,
+                salt=cfg.salt,
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         worst = 0
         for i, t in enumerate(tables):
             df = read_table(spark, t)

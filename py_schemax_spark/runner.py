@@ -71,6 +71,17 @@ class RunConfig:
     # which needs per-class short-circuit order
     fuse_row_checks: bool = True
 
+    def __post_init__(self) -> None:
+        # unknown check names are a config error, not a silent no-op —
+        # the analogue of the reference's click.Choice rejection on
+        # --rule-apply/--rule-ignore (reference cli.py:142-157)
+        known = set(ALL_CHECKS)
+        bad = [c for c in (*self.checks, *self.skip) if c not in known]
+        if bad:
+            raise ValueError(
+                f"unknown check class(es) {bad}; valid: {list(ALL_CHECKS)}"
+            )
+
     @property
     def enabled(self) -> tuple[str, ...]:
         return tuple(c for c in self.checks if c not in set(self.skip))

@@ -287,3 +287,15 @@ def test_out_alias_and_choice_flags(spark, table_dir, spec_file, capsys):
     )
     assert code == 1
     assert capsys.readouterr().out == ""
+
+
+def test_unknown_check_name_exits_2(spark, table_dir, spec_file, capsys):
+    """--check with an unknown class is a config error (reference
+    click.Choice rejection), not a silent no-op run."""
+    code = _main(
+        spark,
+        ["validate", table_dir, "--spec", spec_file, "--check",
+         "schema,rowz"],
+    )
+    assert code == 2
+    assert "unknown check class" in capsys.readouterr().err
