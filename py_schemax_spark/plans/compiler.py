@@ -92,13 +92,27 @@ def compile_row_constraints(
 
         # type conformance: when the physical column is a string but the
         # spec declares a stronger type, every row must cast cleanly
-        # (schema-on-read mismatch, SURVEY.md §2.1 S5).
+        # (schema-on-read mismatch, SURVEY.md §2.1 S5). For date/datetime
+        # columns with a declared format, a value is type-conformant if
+        # EITHER the lenient cast OR the declared-format parse succeeds —
+        # otherwise a non-ISO format like '%d/%m/%Y' would make every
+        # conforming value a `.type` false positive (the lenient cast
+        # only accepts ISO-like shapes).
         if isinstance(actual, T.StringType) and cs.type not in ("string", "binary"):
             parsed = c.try_cast(want)
+            if cs.type in ("date", "datetime") and cs.format:
+                fmt_parsed = F.try_to_timestamp(
+                    c, F.lit(_to_spark_fmt(cs.format))
+                )
+                type_pred = (
+                    c.isNotNull() & parsed.isNull() & fmt_parsed.isNull()
+                )
+            else:
+                type_pred = c.isNotNull() & parsed.isNull()
             out.append(
                 RowConstraint(
                     f"{cs.name}.type",
-                    c.isNotNull() & parsed.isNull(),
+                    type_pred,
                     _obs(c),
                     f"value castable to {cs.type}",
                 )

@@ -126,6 +126,54 @@ def test_datetime_format_conformance(spark):
     assert [g[:2] for g in got] == [("k2", "ts.type")]
 
 
+def test_datetime_non_iso_declared_format(spark):
+    """A non-ISO declared format must NOT mark conforming values as
+    `.type` violations: type-conformant = lenient cast OR declared
+    format parses (round-3 ADVICE fix). Lenient-castable values in the
+    wrong declared format are `.format`'s job."""
+    df = spark.createDataFrame(
+        [
+            ("k1", "25/12/2024"),            # conforms to %d/%m/%Y → clean
+            ("k2", "2024-12-25 00:00:00"),   # ISO, wrong format → .format
+            ("k3", "not-a-date"),            # fails both → .type
+            ("k4", None),                    # null → no violation
+        ],
+        ["id", "ts"],
+    )
+    spec = _spec(
+        {
+            "fqn": "t",
+            "key": "id",
+            "columns": [
+                {"name": "id", "type": "string"},
+                {"name": "ts", "type": "datetime", "format": "%d/%m/%Y"},
+            ],
+        }
+    )
+    got = _rows(row_violations(df, spec))
+    assert [g[:2] for g in got] == [("k2", "ts.format"), ("k3", "ts.type")]
+
+
+def test_date_non_iso_declared_format(spark):
+    """Same guarantee for the `date` type (try_cast('date') rejects
+    %d/%m/%Y shapes, so the format-parse rescue must apply)."""
+    df = spark.createDataFrame(
+        [("k1", "31/01/2024"), ("k2", "garbage")], ["id", "d"]
+    )
+    spec = _spec(
+        {
+            "fqn": "t",
+            "key": "id",
+            "columns": [
+                {"name": "id", "type": "string"},
+                {"name": "d", "type": "date", "format": "%d/%m/%Y"},
+            ],
+        }
+    )
+    got = _rows(row_violations(df, spec))
+    assert [g[:2] for g in got] == [("k2", "d.type")]
+
+
 def test_uniqueness_attribution_first_wins(spark):
     # same url twice: the LATER (by order col) row is the violation —
     # reference semantics validator.py:207-220 made deterministic
