@@ -674,10 +674,12 @@ def q_minhash_candidates(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard on a SQL-expressible candidate set (pairs
     within a deterministic doc_id//10 bucket of the dup-injected
-    corpus) — ORACLED: DuckDB recomputes the 5-gram shingle sets as
-    strings; the engine's polynomial shingle CODES are injective on
-    the ASCII corpus, so set sizes (n_inter, n_union) and the
-    floor-scaled jaccard_bp match integer-exactly."""
+    corpus) — ORACLED: DuckDB recomputes the BYTE-level 5-gram shingle
+    sets via hex(encode(text)) 10-grams (2 hex chars per byte, '0'-padded
+    to one window for short texts — exactly the engine's zero-padding);
+    the engine's polynomial shingle codes are injective for n<=8, so set
+    sizes (n_inter, n_union) and the floor-scaled jaccard_bp match
+    integer-exactly on ANY corpus, multibyte included."""
     dup = _dup_injected(spark, sf_dir).filter(F.col("text").isNotNull())
     bkt = F.floor(F.col("doc_id") / 10).alias("bkt")
     a = dup.select(F.col("row_id").alias("key_a"), bkt)
@@ -1180,16 +1182,26 @@ FROM documents
 SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
 """
 
+    # Byte-level shingle twin: the engine shingles over UTF-8 BYTES
+    # (zero-padding texts shorter than 5 bytes to one window), so the
+    # oracle maps text → hex(encode(t)) — pure ASCII, 2 chars per byte —
+    # and takes hex 10-grams at odd offsets ≡ byte 5-grams, rpad'ing
+    # with '0' (hex of the zero byte) to at least one window. Character
+    # shingling would diverge on any multibyte text ('café' → 26 char
+    # 5-grams vs 28 byte 5-grams) and on <5-char texts.
     ngram_jaccard_sql = f"""
 WITH {_DUP_SQL_CTE.strip()},
 d AS (
-  SELECT row_id, doc_id, {_NORM_SQL} AS t
+  SELECT row_id, doc_id,
+         rpad(hex(encode({_NORM_SQL})),
+              CAST(greatest(strlen({_NORM_SQL}) * 2, 10) AS INTEGER), '0') AS h,
+         greatest(strlen({_NORM_SQL}) - 4, 1) AS nw
   FROM dupdocs WHERE text IS NOT NULL
 ),
 sh AS (
   SELECT row_id, doc_id,
-         list_distinct(list_transform(range(1, length(t) - 3),
-                                      i -> substr(t, i, 5))) AS s
+         list_distinct(list_transform(range(1, nw + 1),
+                                      i -> substr(h, 2*i - 1, 10))) AS s
   FROM d
 ),
 cand AS (

@@ -89,8 +89,11 @@ def _explicit_config_layer(paths: tuple[str, ...]) -> dict[str, Any]:
                 doc = tomllib.load(f)
         except (FileNotFoundError, IsADirectoryError):
             continue
-        except Exception:
-            continue
+        except tomllib.TOMLDecodeError as e:
+            # an explicitly named file that exists but is malformed is a
+            # user error, not a skippable layer (reference raises
+            # click.BadParameter on a bad explicit config)
+            raise ValueError(f"config file {path!r} is not valid TOML: {e}")
         section = doc.get("validate") or (
             doc.get("tool", {}).get("schemax_spark", {}).get("validate", {})
         )

@@ -103,9 +103,18 @@ def brute_force_topk(
     from pyspark.sql import types as T
     from typing import Iterator
 
-    qrows = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).collect()
+    qrows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+        .collect()
+    )
+    if not qrows:
+        # no usable queries: empty result with the full output schema
+        return df.sparkSession.createDataFrame(
+            [], "query_id bigint, vec_id bigint, sim double, rank int"
+        )
     q_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))

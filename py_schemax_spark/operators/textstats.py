@@ -65,7 +65,13 @@ def stopword_hits(c: Column, stopwords: list[str] | None = None) -> Column:
     when it is a maximal non-space run (not preceded/followed by a
     non-space char — covers string boundaries too). Caller passes a
     lowercased column for case-insensitive semantics."""
-    words = "|".join(stopwords or _EN_STOPWORDS)
+    import re as _re
+
+    # re.escape is Java-compatible here: it never escapes alphanumerics
+    # (which Java would reject as unknown escapes), only metacharacters —
+    # so caller-provided words like 'c++' or '.net' can't corrupt the
+    # alternation or miscount.
+    words = "|".join(_re.escape(w) for w in (stopwords or _EN_STOPWORDS))
     return F.regexp_count(c, F.lit(rf"(?<!\S)(?:{words})(?!\S)"))
 
 

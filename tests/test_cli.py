@@ -250,6 +250,24 @@ def test_config_file_flag_invalid_exits_2(spark, table_dir, spec_file,
     assert "config files are valid" in capsys.readouterr().err
 
 
+def test_config_file_flag_malformed_toml_surfaces(spark, table_dir,
+                                                  spec_file, tmp_path,
+                                                  capsys):
+    """A --config file with a TOML syntax error must NOT be silently
+    skipped (round-3 ADVICE fix): the user gets a per-file parse error,
+    mirroring the reference's click.BadParameter on a bad explicit
+    config."""
+    broken = tmp_path / "broken.toml"
+    broken.write_text("[validate\nfail_mode = never")  # unclosed table
+    code = _main(
+        spark,
+        ["validate", table_dir, "--spec", spec_file,
+         "--config", str(broken)],
+    )
+    assert code == 2
+    assert "not valid TOML" in capsys.readouterr().err
+
+
 def test_config_file_first_valid_wins(tmp_path):
     bad = tmp_path / "empty.toml"
     bad.write_text("")

@@ -457,3 +457,72 @@ def test_similarity_paths_null_embedding_safe(spark):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     assert brute_force_topk(df, q, k=3).count() == 6
+    # null QUERY vectors are dropped (round-3 ADVICE: the query side was
+    # unhardened — a null qvec crashed the driver-side np.array build)
+    q_with_null = df.filter(
+        (F.col("vec_id") < 2) | (F.col("vec_id") == 99)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    assert brute_force_topk(df, q_with_null, k=3).count() == 6
+    # an all-null / empty query set short-circuits to an empty frame
+    # with the contract schema
+    empty = brute_force_topk(
+        df, df.filter(F.col("vec_id") == 99).select(
+            F.col("vec_id").alias("query_id"), "embedding"), k=3)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "query_id", "vec_id", "sim", "rank"]
+
+
+def test_ngram_jaccard_byte_oracle_multibyte_parity(spark):
+    """The DuckDB oracle shingles hex(encode(text)) 10-grams ≡ the
+    engine's byte 5-grams — must agree on multibyte ('café'), short
+    (<5 char), and empty texts, not just the ASCII corpus (round-3
+    ADVICE fix)."""
+    import duckdb
+
+    texts = [
+        (0, "the naïve café piñata résumé text goes on and on"),
+        (1, "the naïve café piñata résumé text goes on and off"),
+        (2, "ab"),                    # short → zero-padded single window
+        (3, "ab"),                    # identical short pair → jaccard 1
+        (4, ""),                      # empty → single all-zero window
+        (5, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    cand_rows = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    cand = spark.createDataFrame(cand_rows, "key_a long, key_b long")
+    got = {
+        (r["key_a"], r["key_b"]): (r["n_inter"], r["n_union"])
+        for r in ngram_jaccard_pairs(
+            df, cand, text_col="text", key_col="doc_id", threshold=0.0
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", texts)
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    want_rows = con.execute(f"""
+        WITH d AS (
+          SELECT doc_id,
+                 rpad(hex(encode({norm})),
+                      CAST(greatest(strlen({norm}) * 2, 10) AS INTEGER), '0') AS h,
+                 greatest(strlen({norm}) - 4, 1) AS nw
+          FROM docs
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, nw + 1),
+                     i -> substr(h, 2*i - 1, 10))) AS s
+          FROM d
+        )
+        SELECT a.doc_id, b.doc_id,
+               len(list_intersect(a.s, b.s)),
+               len(list_distinct(list_concat(a.s, b.s)))
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    """).fetchall()
+    want = {(a, b): (ni, nu) for a, b, ni, nu in want_rows}
+    assert got == want
+    # sanity on the planted structure: identical pairs are exact matches
+    assert got[(2, 3)][0] == got[(2, 3)][1]
+    assert got[(4, 5)][0] == got[(4, 5)][1]
