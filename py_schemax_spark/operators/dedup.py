@@ -55,6 +55,36 @@ def unpersist_intermediates(df: DataFrame) -> None:
         cached.unpersist()
 
 
+def _log_dropped_buckets(
+    annotated: DataFrame, bucket_cols: list[str], cap: int, tag: str
+) -> None:
+    """Surface the volume excluded by a bucket-population cap: one
+    small aggregation over the (persisted) annotated bucket stream —
+    rows carry their bucket's population in ``_n``. Runs as its own
+    tiny job; on a capped run this also warms the persist before the
+    self-join consumes it twice."""
+    import logging
+
+    row = (
+        annotated.filter(F.col("_n") > cap)
+        .agg(
+            F.count_distinct(*[F.col(c) for c in bucket_cols]).alias(
+                "n_buckets"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("_n").alias("max_pop"),
+        )
+        .collect()[0]
+    )
+    if row["n_buckets"]:
+        logging.getLogger(__name__).warning(
+            "%s: dropped %d hot bucket(s) above cap=%d "
+            "(%d member rows, largest bucket=%d); near-dup recall inside "
+            "them degrades — exact duplicates are exact-dedup's job",
+            tag, row["n_buckets"], cap, row["n_rows"], row["max_pop"],
+        )
+
+
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
 ) -> DataFrame:
@@ -274,6 +304,8 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 5,
+    max_bucket_size: int | None = 10_000,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banding: docs agreeing on ALL
     rows of ≥1 band collide. Returns ``(key_a, key_b, n_bands)`` with
@@ -282,8 +314,16 @@ def minhash_lsh_candidates(
     Scale shape: the exploded (band_id, band_hash) stream shuffles once
     into buckets; the self-join happens per bucket (bounded by bucket
     population, not n²). A hot bucket (boilerplate pages) is the skew
-    risk — AQE skew-join handles it, and callers can pre-filter
-    boilerplate.
+    risk: AQE skew-join splits the SHUFFLE, but cannot reduce the
+    O(b²) PAIR OUTPUT of a b-doc bucket — one 10⁶-doc boilerplate
+    bucket would emit 5·10¹¹ pairs. So bucket populations are counted
+    with a window over the bucket key (the same shuffle the self-join
+    needs) and buckets above ``max_bucket_size`` are EXCLUDED from the
+    join; the dropped volume is logged. Near-dup recall inside a
+    dropped bucket degrades gracefully (pairs can still surface via
+    their other bands); exact duplicates are the exact-dedup
+    operator's job, not LSH's. ``max_bucket_size=None`` disables the
+    cap.
     """
     rows_per_band = num_hashes // bands
     banded = minhash_signatures(
@@ -309,15 +349,30 @@ def minhash_lsh_candidates(
     buckets = banded.select("k", band_hash.alias("bh")).select(
         "k", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket")
     )
-    # persist: the self-join would otherwise run the whole signature
-    # pipeline (scan → normalize → Arrow minhash) twice — at corpus
-    # scale that doubles the dominant cost. MEMORY_AND_DISK so a
-    # 10^12-doc bucket table spills instead of OOMing.
+    # bucket-population window: one shuffle on (band, bucket) — the
+    # key the self-join needs anyway — annotates every row with its
+    # bucket's size so over-cap buckets can be filtered BEFORE the
+    # join. persist: the self-join would otherwise run the whole
+    # signature pipeline (scan → normalize → Arrow minhash) twice — at
+    # corpus scale that doubles the dominant cost. MEMORY_AND_DISK so
+    # a 10^12-doc bucket table spills instead of OOMing.
     from pyspark import StorageLevel
 
-    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
-    left = buckets.alias("l")
-    right = buckets.alias("r")
+    wb = Window.partitionBy("band", "bucket")
+    buckets = buckets.withColumn("_n", F.count(F.lit(1)).over(wb)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if max_bucket_size is not None:
+        if log_dropped:
+            _log_dropped_buckets(
+                buckets, ["band", "bucket"], max_bucket_size, "minhash-lsh"
+            )
+        joinable = buckets.filter(F.col("_n") <= max_bucket_size)
+    else:
+        joinable = buckets
+    joinable = joinable.drop("_n")
+    left = joinable.alias("l")
+    right = joinable.alias("r")
     return _track_persisted(
         left.join(
             right,
@@ -472,13 +527,27 @@ def simhash_near_duplicates(
     text_col: str = "text",
     key_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int | None = 10_000,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on each of the four 16-bit
     chunks (pigeonhole: ≤3 differing bits → ≥1 identical chunk), join
     within buckets, verify Hamming distance exactly.
 
     Returns ``(key_a, key_b, hamming)``.
+
+    Scale shape: only 65k possible values per 16-bit chunk, so at
+    10^12 docs the AVERAGE chunk bucket holds ~10⁷ docs — an uncapped
+    self-join is quadratic in that. Same guard as
+    ``minhash_lsh_candidates``: a window over the bucket key (the
+    join's own shuffle key) annotates populations; buckets above
+    ``max_bucket_size`` are excluded and the dropped volume logged.
+    Pairs in a dropped bucket can still meet via their other three
+    chunks. The chunk stream is persisted so the fingerprint pipeline
+    (normalize → tokenize → Arrow bit votes) runs once, not twice.
     """
+    from pyspark import StorageLevel
+
     fp = df.filter(F.col(text_col).isNotNull()).select(
         F.col(key_col).alias("k"), simhash_bits(F.col(text_col)).alias("fp")
     )
@@ -497,13 +566,26 @@ def simhash_near_duplicates(
             )
         ).alias("c"),
     ).select("k", "fp", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
-    l, r = chunks.alias("l"), chunks.alias("r")
+    wb = Window.partitionBy("chunk", "val")
+    chunks = chunks.withColumn("_n", F.count(F.lit(1)).over(wb)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if max_bucket_size is not None:
+        if log_dropped:
+            _log_dropped_buckets(
+                chunks, ["chunk", "val"], max_bucket_size, "simhash"
+            )
+        joinable = chunks.filter(F.col("_n") <= max_bucket_size)
+    else:
+        joinable = chunks
+    joinable = joinable.drop("_n")
+    l, r = joinable.alias("l"), joinable.alias("r")
     hamming = F.aggregate(
         F.zip_with(F.col("l.fp"), F.col("r.fp"), lambda a, b: F.abs(a - b)),
         F.lit(0),
         lambda acc, d: acc + d,
     )
-    return (
+    return _track_persisted(
         l.join(
             r,
             (F.col("l.chunk") == F.col("r.chunk"))
@@ -516,5 +598,6 @@ def simhash_near_duplicates(
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        .distinct(),
+        [chunks],
     )

@@ -526,3 +526,62 @@ def test_ngram_jaccard_byte_oracle_multibyte_parity(spark):
     # sanity on the planted structure: identical pairs are exact matches
     assert got[(2, 3)][0] == got[(2, 3)][1]
     assert got[(4, 5)][0] == got[(4, 5)][1]
+
+
+def test_lsh_bucket_cap_bounds_boilerplate_pairs(spark):
+    """Round-3 scale guard: a planted boilerplate bucket (many docs
+    with IDENTICAL text → same bucket in every band) must not emit its
+    O(b²) pair set when capped; small buckets are untouched, so a twin
+    pair with its own distinct text still surfaces. AQE splits the
+    shuffle of a hot bucket but cannot reduce pair OUTPUT — only the
+    cap can."""
+    boiler = "click here to accept cookies and continue to the site " * 4
+    twin = "an entirely different document about volcanic geology " * 4
+    rows = [(i, boiler) for i in range(300)]
+    rows += [(1000, twin), (1001, twin)]
+    rows += [(2000 + i, f"unique filler document number {i} " * 8)
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_lsh_candidates(
+        df, key_col="doc_id", num_hashes=64, bands=16, max_bucket_size=50
+    )
+    pairs = {(r["key_a"], r["key_b"]) for r in capped.collect()}
+    # the planted 300-doc bucket (44,850 pairs) is fully excluded
+    assert not any(a < 300 and b < 300 for a, b in pairs)
+    # a small (2-doc) bucket is untouched by the cap
+    assert (1000, 1001) in pairs
+    assert len(pairs) < 300  # bounded output, not O(b²)
+
+    uncapped = minhash_lsh_candidates(
+        df, key_col="doc_id", num_hashes=64, bands=16, max_bucket_size=None
+    )
+    n_unc = uncapped.count()
+    assert n_unc >= 300 * 299 // 2  # the quadratic set the cap prevents
+
+
+def test_simhash_bucket_cap_bounds_boilerplate_pairs(spark):
+    """Same guard on the SimHash chunk-bucket join: identical texts
+    share all four 16-bit chunk buckets; capping excludes them while a
+    distinct twin pair (its own tiny buckets) survives."""
+    boiler = "subscribe to our newsletter for daily updates now " * 4
+    twin = "completely unrelated prose regarding deep sea fauna " * 4
+    rows = [(i, boiler) for i in range(200)]
+    rows += [(1000, twin), (1001, twin)]
+    rows += [(2000 + i, f"distinct padding text number {i} " * 8)
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = simhash_near_duplicates(
+        df, key_col="doc_id", max_hamming=3, max_bucket_size=50
+    )
+    pairs = {(r["key_a"], r["key_b"]) for r in capped.collect()}
+    assert not any(a < 200 and b < 200 for a, b in pairs)
+    assert (1000, 1001) in pairs
+
+    uncapped = simhash_near_duplicates(
+        df, key_col="doc_id", max_hamming=3, max_bucket_size=None
+    )
+    assert uncapped.filter(
+        (F.col("key_a") < 200) & (F.col("key_b") < 200)
+    ).count() == 200 * 199 // 2
