@@ -127,35 +127,12 @@ def exact_dedup_keep_first(
 # --- MinHash + LSH ----------------------------------------------------------
 
 
-def shingles(c, n: int = 5) -> F.Column:
-    """Character n-gram shingle set of the normalized text (JVM-side:
-    sequence + transform + substring; distinct via array_distinct)."""
-    t = _norm_text(c)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
-
-
-def minhash_signature(shingle_col, num_hashes: int = 64) -> F.Column:
-    """K independent minhashes: min over shingles of xxhash64(shingle,
-    seed_i). Array of K longs, all JVM expressions.
-
-    REFERENCE PATH ONLY (used by tests as a semantic twin): Catalyst
-    evaluates higher-order functions interpreted and re-evaluates the
-    child array expression per element, so this form is quadratic in
-    shingle count when composed over ``shingles()``. The production
-    path is ``minhash_signatures`` (Arrow/numpy)."""
-    long_max = (1 << 63) - 1
-    init = F.array_repeat(F.lit(long_max).cast("long"), num_hashes)
-
-    def hashes_of(s):
-        return F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)])
-
-    return F.aggregate(
-        shingle_col,
-        init,
-        lambda acc, s: F.zip_with(acc, hashes_of(s), lambda a, b: F.least(a, b)),
-    )
-
+# NOTE: the interpreted JVM-expression minhash (xxhash64-per-seed fold
+# over a transform(sequence(...)) shingle array) was removed from the
+# package in round 3 — composing HOFs over computed arrays is quadratic
+# in shingle count under Catalyst's interpreter (SURVEY.md §7 rule) and
+# exporting it invited accidental use. Its expression form survives as
+# the semantic twin in tests/test_dedup_similarity.py.
 
 _POLY_B = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
 

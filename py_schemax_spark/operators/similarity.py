@@ -30,33 +30,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-
-
-def cosine_similarity(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
-
-
 def cosine_similarity_arrow(a: Column, b: Column) -> Column:
     """Row-wise cosine as ONE vectorized numpy op per Arrow batch —
-    the hot-path replacement for ``cosine_similarity`` (whose
-    ``zip_with``/``aggregate`` form runs in Catalyst's expression
-    interpreter per pair). Same float64 math; summation order is
+    the hot-path replacement for the interpreted ``zip_with``/
+    ``aggregate`` expression cosine (which runs in Catalyst's
+    expression interpreter per pair; its form survives only as the
+    semantic twin in tests). Same float64 math; summation order is
     numpy's SIMD blocking, so last-ulp results can differ from the
     sequential fold — round before comparing across engines."""
     import numpy as np
@@ -441,6 +420,7 @@ def all_pairs_above_np(
     vec_col: str = "embedding",
     max_broadcast_rows: int = 1_000_000,
     n_blocks: int = 16,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold. Two physical strategies behind one
     result contract (``(key_a, key_b, sim)``, key_a < key_b, raw
@@ -453,8 +433,22 @@ def all_pairs_above_np(
     - larger corpora: ``all_pairs_above_blocked`` — block-pair
       decomposition with NO driver collect and per-task memory bounded
       by two blocks, the shape that survives a 100× scale-up.
+
+    Strategy choice never full-scans the corpus: callers that know the
+    (approximate) row count pass ``approx_rows`` (catalog metadata, a
+    prior action) and no probe job runs at all; otherwise a bounded
+    ``limit(max_broadcast_rows + 1)`` probe reads just enough rows to
+    answer "bigger than the broadcast ceiling?" — at 100 TB that is a
+    ~max_broadcast_rows-row scan, not a full count of the input.
     """
-    if df.count() > max_broadcast_rows:
+    if approx_rows is not None:
+        too_big = approx_rows > max_broadcast_rows
+    else:
+        too_big = (
+            df.select(id_col).limit(max_broadcast_rows + 1).count()
+            > max_broadcast_rows
+        )
+    if too_big:
         return all_pairs_above_blocked(
             df, threshold, id_col=id_col, vec_col=vec_col, n_blocks=n_blocks
         )
@@ -633,17 +627,13 @@ def similarity_pairs_above(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold (embedding near-dup detection).
-    Small/medium corpora only — all-pairs is O(n²); at scale use
-    ``lsh_topk`` buckets as the candidate generator instead."""
-    a = df.select(F.col(id_col).alias("key_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("key_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("key_a") < F.col("key_b"))
-        .select(
-            "key_a",
-            "key_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
-    )
+    """All-pairs cosine ≥ threshold — compatibility shim over
+    ``all_pairs_above_np`` (same contract, sim ROUNDED to 4 as this
+    API always did). The old cartesian self-join with an interpreted
+    ``zip_with``/``aggregate`` cosine is gone from the package: it was
+    the API a user would grab by accident and get O(n²) interpreted
+    evaluation; its expression form survives only as the semantic twin
+    in tests/test_dedup_similarity.py. Note the threshold is applied
+    to the RAW sim (the strategy paths' contract), then rounded."""
+    out = all_pairs_above_np(df, threshold, id_col=id_col, vec_col=vec_col)
+    return out.select("key_a", "key_b", F.round("sim", 4).alias("sim"))

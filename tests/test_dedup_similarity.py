@@ -152,6 +152,35 @@ def test_ivf_topk_recall_on_planted_neighbors(vectors):
     assert got1 == {0: 40, 1: 41, 2: 42, 3: 43}
 
 
+def _expr_cosine(a, b):
+    """Interpreted JVM-expression cosine — the semantic twin of the
+    production Arrow path, kept ONLY here (round 3 removed it from the
+    package: zip_with/aggregate HOFs run in Catalyst's interpreter and
+    the cartesian form is O(n²))."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+    def norm(v):
+        return F.sqrt(F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, w: acc + w))
+
+    return dot / (norm(a) * norm(b))
+
+
+def _expr_pairs_above(df, threshold, id_col="vec_id", vec_col="embedding"):
+    a = df.select(F.col(id_col).alias("key_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("key_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b",
+                F.round(_expr_cosine(F.col("va"), F.col("vb")), 4)
+                .alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def test_all_pairs_np_matches_expression_path(vectors):
     np_pairs = {
         (r["key_a"], r["key_b"]): r["sim"]
@@ -159,12 +188,19 @@ def test_all_pairs_np_matches_expression_path(vectors):
     }
     expr_pairs = {
         (r["key_a"], r["key_b"]): r["sim"]
-        for r in similarity_pairs_above(vectors, threshold=0.9).collect()
+        for r in _expr_pairs_above(vectors, threshold=0.9).collect()
     }
     assert set(np_pairs) == set(expr_pairs)
     assert set(np_pairs) == {(0, 40), (1, 41), (2, 42), (3, 43)}
     for k, v in expr_pairs.items():
         assert abs(np_pairs[k] - v) < 1e-3  # expr path rounds to 4
+    # the public similarity_pairs_above API is now a shim over the
+    # numpy strategy paths — same pairs, rounded sims
+    shim_pairs = {
+        (r["key_a"], r["key_b"]): r["sim"]
+        for r in similarity_pairs_above(vectors, threshold=0.9).collect()
+    }
+    assert shim_pairs == expr_pairs
 
 
 def test_text_profile_shape_and_sanity(spark):
@@ -585,3 +621,47 @@ def test_simhash_bucket_cap_bounds_boilerplate_pairs(spark):
     assert uncapped.filter(
         (F.col("key_a") < 200) & (F.col("key_b") < 200)
     ).count() == 200 * 199 // 2
+
+
+def test_jvm_expression_minhash_semantic_twin(spark, corpus):
+    """The interpreted JVM minhash (removed from the package in round 3
+    — quadratic HOF-over-computed-array shape) lives on here as the
+    semantic twin: same invariants as the Arrow path (identical
+    normalized texts → identical signatures; unrelated texts differ),
+    different hash family (so values are not comparable, semantics
+    are)."""
+    from py_schemax_spark.operators.dedup import minhash_signatures
+
+    def shingles(c, n=5):
+        t = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+        idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: t.substr(i, F.lit(n))))
+
+    def jvm_minhash(shingle_col, num_hashes=8):
+        long_max = (1 << 63) - 1
+        init = F.array_repeat(F.lit(long_max).cast("long"), num_hashes)
+
+        def hashes_of(s):
+            return F.array(*[F.xxhash64(s, F.lit(i))
+                             for i in range(num_hashes)])
+
+        return F.aggregate(
+            shingle_col, init,
+            lambda acc, s: F.zip_with(acc, hashes_of(s),
+                                      lambda a, b: F.least(a, b)))
+
+    jvm = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in corpus.select(
+            "doc_id", jvm_minhash(shingles(F.col("text"))).alias("sig")
+        ).collect()
+    }
+    arrow = {
+        r["k"]: tuple(r["sig"])
+        for r in minhash_signatures(corpus, key_col="doc_id",
+                                    num_hashes=8).collect()
+    }
+    for sigs in (jvm, arrow):
+        assert sigs[1] == sigs[2] == sigs[3]   # normalize-identical
+        assert sigs[1] != sigs[5] != sigs[6]   # unrelated differ

@@ -154,3 +154,29 @@ def test_brute_force_topk_corpus_never_shuffles_before_scoring(spark):
     # query_id over the (k*|Q| per batch) candidates — the corpus
     # itself reaches the scorer shuffle-free
     assert plan.count("Exchange") == 1, plan
+
+
+def test_all_pairs_strategy_gate_never_full_counts(spark):
+    """Round-3: the broadcast-vs-blocked strategy choice must not run a
+    full count() over the corpus (at 100 TB that is an extra job over
+    the entire input). With an approx_rows hint NO job runs for the
+    gate; without it, the probe is a bounded limit(max+1) scan — the
+    input DataFrame's own .count is never invoked."""
+    from py_schemax_spark.operators.similarity import all_pairs_above_np
+
+    rows = [(i, [float(i), 1.0, 0.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def boom():
+        raise AssertionError("gate ran a full count() on the corpus")
+
+    df.count = boom  # instance-level: limit(...).count() is unaffected
+    # hint path: strategy picked with zero jobs
+    out_hint = all_pairs_above_np(df, -1.1, approx_rows=30)
+    assert out_hint.count() == 30 * 29 // 2
+    big = all_pairs_above_np(df, -1.1, approx_rows=10_000_000, n_blocks=3)
+    assert big.count() == 30 * 29 // 2  # blocked path, identical result
+    # probe path: bounded limit scan, not df.count()
+    out_probe = all_pairs_above_np(df, -1.1, max_broadcast_rows=10,
+                                   n_blocks=3)
+    assert out_probe.count() == 30 * 29 // 2
