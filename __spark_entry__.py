@@ -241,15 +241,26 @@ def q_passage_dedup(spark, sf_dir):
     groupBy shuffles (md5, row_id) pairs with map-side combine."""
     W = 20
     d = _dup_injected(spark, sf_dir).filter(F.col("text").isNotNull())
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n_pass = F.floor(F.size(toks) / W).cast("int")
-    passages = F.when(
-        n_pass > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_pass - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * W + 1, W)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # token array + window index are materialized as real columns so
+    # the transform lambda only references attributes (SURVEY §7 rule);
+    # the optimized plan then carries ONE split() instead of three
+    # inlined copies. Measured flat-or-better vs the inlined form at
+    # 2000 docs × 8000 tokens (0.058 → 0.052 s) on Spark 4.1.
+    d = (
+        d.withColumn("_toks", F.split(F.trim(F.col("text")), r"\s+"))
+        .withColumn("_npass", F.floor(F.size("_toks") / W).cast("int"))
+        .withColumn(
+            "_idx",
+            F.when(
+                F.col("_npass") > 0,
+                F.sequence(F.lit(0), F.col("_npass") - 1),
+            ).otherwise(F.array().cast("array<int>")),
+        )
+    )
+    passages = F.transform(
+        F.col("_idx"),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i * W + 1, W)),
+    )
     ex = d.select("row_id", F.explode(passages).alias("passage"))
     return (
         ex.groupBy(F.md5("passage").alias("passage_md5"))

@@ -129,18 +129,45 @@ def fingerprint(c: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
 
 
-def rolling_fingerprints(c: Column, window: int = 8) -> Column:
+def rolling_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 8,
+    out_col: str = "rfp",
+) -> DataFrame:
     """Winnowing-style rolling hashes: xxhash64 of each ``window``-token
-    shingle (array<long>); downstream min-sampling picks the document
-    signature. JVM-side only."""
-    toks = tokens(c)
-    n_sh = F.greatest(F.size(toks) - (window - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.xxhash64(
-            F.concat_ws(" ", F.slice(toks, i, window))
-        ),
+    shingle, appended as an ``array<long>`` column. JVM-side only.
+
+    Round 3: DataFrame-level (was a Column fn composing HOFs over a
+    computed token array — the SURVEY §7 anti-pattern): the token array
+    and shingle index are materialized columns, so the transform lambda
+    touches only attribute references. Also fixes a latent short-doc
+    bug — ``sequence(1, 0)`` DESCENDS in Spark, so docs with fewer than
+    ``window`` tokens used to emit two bogus windows; they now emit one
+    fingerprint over all their tokens (mirroring the shingle padding
+    semantics in dedup)."""
+    out = (
+        df.withColumn("_rf_toks", tokens(F.col(text_col)))
+        .withColumn(
+            "_rf_idx",
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.size("_rf_toks") - (window - 1), F.lit(1)
+                ),
+            ),
+        )
+        .withColumn(
+            out_col,
+            F.transform(
+                F.col("_rf_idx"),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("_rf_toks"), i, window))
+                ),
+            ),
+        )
     )
+    return out.drop("_rf_toks", "_rf_idx")
 
 
 def text_profile(

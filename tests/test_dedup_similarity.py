@@ -665,3 +665,29 @@ def test_jvm_expression_minhash_semantic_twin(spark, corpus):
     for sigs in (jvm, arrow):
         assert sigs[1] == sigs[2] == sigs[3]   # normalize-identical
         assert sigs[1] != sigs[5] != sigs[6]   # unrelated differ
+
+
+def test_rolling_fingerprints_shift_invariance_and_short_docs(spark):
+    """Rolling 8-token fingerprints: a shared token run produces the
+    same window hashes regardless of position (shift invariance — the
+    winnowing property), and a doc shorter than the window emits
+    exactly ONE fingerprint (the old Column form hit Spark's descending
+    sequence(1,0) and emitted two bogus windows)."""
+    from py_schemax_spark.operators.textstats import rolling_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, f"prefix one two {shared}"),
+            (2, f"{shared} suffix tokens here"),
+            (3, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {
+        r["doc_id"]: r["rfp"]
+        for r in rolling_fingerprints(df, window=8).collect()
+    }
+    # 10 shared tokens → 3 shared 8-token windows, position-independent
+    assert len(set(fps[1]) & set(fps[2])) == 3
+    assert len(fps[3]) == 1
