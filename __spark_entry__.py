@@ -669,6 +669,50 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, queries, dim=64, k=10, n_lists=16, nprobe=4)
 
 
+def q_ann_ivf_exact(spark, sf_dir):
+    """IVF in its EXACT regime (nprobe = n_lists → every list probed →
+    identical to brute force by construction) — ORACLED on ann_topk's
+    SQL: same 4-decimal-rounded cosine ranking with vec_id tie-break.
+    This pins the whole IVF machinery (deterministic centroid seeding,
+    Lloyd assignment, per-list search, final window) to a DuckDB-checked
+    exact answer; approximate nprobe<n_lists runs then differ only by
+    which lists are probed."""
+    from py_schemax_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, dim=64, k=10, n_lists=16, nprobe=16)
+
+
+def q_ann_lsh_containment(spark, sf_dir):
+    """Containment oracle for LSH top-k (the ann analogue of
+    minhash_containment): planted EXACT-duplicate embeddings share
+    every hyperplane sign, so each twin lands in its query's bucket in
+    every table and, at cosine 1.0, cannot be ranked out of the top-k.
+    Returns the (query_id, expected twin) rows MISSING from the LSH
+    result; the oracle is the empty set — any row is a real LSH bug."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(
+        (F.col("vec_id") % 50 == 0) & F.col("embedding").isNotNull()
+    )
+    twins = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(twins)
+    queries = twins.select(F.col("vec_id").alias("query_id"), "embedding")
+    cand = lsh_topk(
+        corpus, queries, dim=64, k=5, n_planes=8, n_tables=2
+    ).select("query_id", "vec_id")
+    expected = queries.select(
+        "query_id", (F.col("query_id") - 1_000_000).alias("vec_id")
+    )
+    return expected.join(cand, ["query_id", "vec_id"], "left_anti")
+
+
 def q_minhash_candidates(spark, sf_dir):
     """MinHash+LSH near-dup candidates over the dup-injected corpus
     (rows-only; exact-dup pairs MUST appear — asserted in pytest).
@@ -823,7 +867,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pairs_blocked": q_ann_pairs_blocked,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_containment": q_ann_lsh_containment,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_exact": q_ann_ivf_exact,
         "minhash_candidates": q_minhash_candidates,
         "minhash_containment": q_minhash_containment,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1322,6 +1368,11 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         "fingerprint": fingerprint_sql,
         "ngram_jaccard": ngram_jaccard_sql,
         "minhash_containment": minhash_containment_sql,
+        "ann_lsh_containment": """
+SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS vec_id
+WHERE 1 = 0
+""",
+        "ann_ivf_exact": ann_topk_sql,
         "frame_sample": frame_sample_sql,
         "ann_pairs": ann_pairs_sql,
         "ann_pairs_blocked": ann_pairs_sql,
