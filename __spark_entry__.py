@@ -803,9 +803,37 @@ def q_simhash(spark, sf_dir):
 
 def q_image_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload → typed metadata via
-    mapInPandas (decoder stubbed deterministically; rows-only)."""
+    mapInPandas (html payloads are not images → deterministic fake
+    decode; rows-only)."""
     pages = pages_from_documents(spark, sf_dir)
     return image_metadata(pages, key_col="url", payload_col="html")
+
+
+def q_image_meta_ppm(spark, sf_dir):
+    """REAL image decode end-to-end, ORACLED: renders a deterministic
+    P6 PPM per document (width = 1 + doc_id%13, height = 1 + doc_id%7,
+    constant pixel value doc_id%256), decodes it with the pure-numpy
+    netpbm/BMP decoder inside mapInPandas, and emits typed metadata.
+    Every output column is a closed-form function of doc_id, so DuckDB
+    recomputes all of it: n_bytes = 9-byte fixed header + digit widths
+    + w*h*3 payload; mean_intensity of a constant image is the value."""
+    from py_schemax_spark.operators.multimodal import (
+        decode_image_real,
+        render_ppm_udf,
+    )
+
+    pages = _docs(spark, sf_dir).select("doc_id").withColumn(
+        "payload", render_ppm_udf()(F.col("doc_id"))
+    )
+    meta = image_metadata(
+        pages, key_col="doc_id", payload_col="payload",
+        decoder=decode_image_real,
+    )
+    return meta.select(
+        F.col("key").cast("long").alias("doc_id"),
+        "width", "height", "channels", "n_bytes",
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+    )
 
 
 def q_image_resize(spark, sf_dir):
@@ -876,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "simhash": q_simhash,
         "image_meta": q_image_meta,
+        "image_meta_ppm": q_image_meta_ppm,
         "image_resize": q_image_resize,
         "frame_sample": q_frame_sample,
     }
@@ -1374,6 +1403,21 @@ WHERE 1 = 0
 """,
         "ann_ivf_exact": ann_topk_sql,
         "frame_sample": frame_sample_sql,
+        # image_meta_ppm: every metadata column is a closed-form
+        # function of doc_id (constant-pixel P6 payload rendered from
+        # it): header = "P6\n" + w + " " + h + "\n255\n" = 9 + digits
+        "image_meta_ppm": """
+SELECT doc_id,
+       CAST(1 + doc_id % 13 AS INTEGER) AS width,
+       CAST(1 + doc_id % 7 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(9 + length(CAST(1 + doc_id % 13 AS VARCHAR))
+              + length(CAST(1 + doc_id % 7 AS VARCHAR))
+              + (1 + doc_id % 13) * (1 + doc_id % 7) * 3
+            AS BIGINT) AS n_bytes,
+       round(CAST(doc_id % 256 AS DOUBLE), 4) AS mean_intensity
+FROM documents
+""",
         "ann_pairs": ann_pairs_sql,
         "ann_pairs_blocked": ann_pairs_sql,
         "ann_topk": ann_topk_sql,

@@ -691,3 +691,64 @@ def test_rolling_fingerprints_shift_invariance_and_short_docs(spark):
     # 10 shared tokens → 3 shared 8-token windows, position-independent
     assert len(set(fps[1]) & set(fps[2])) == 3
     assert len(fps[3]) == 1
+
+
+def test_real_image_decoder_ppm_pgm_bmp(spark):
+    """Round-3: decode_image_real is a REAL pure-numpy decoder for
+    binary netpbm and uncompressed BMP — round-trips pixels exactly
+    (incl. BMP bottom-up row order, BGR→RGB, and 4-byte row padding);
+    auto_decode falls back to the deterministic fake for other bytes."""
+    import numpy as np
+
+    from py_schemax_spark.operators.multimodal import (
+        auto_decode,
+        decode_image_real,
+        fake_decode,
+        image_metadata,
+    )
+
+    pix = bytes(range(45))  # 5x3 RGB
+    ppm = b"P6\n# comment\n5 3\n255\n" + pix
+    assert decode_image_real(ppm)[:3] == (5, 3, 3)
+    assert decode_image_real(ppm)[3].tobytes() == pix
+
+    pgm = b"P5\n4 2\n255\n" + bytes(range(8))
+    w, h, c, px = decode_image_real(pgm)
+    assert (w, h, c) == (4, 2, 1) and px.tobytes() == bytes(range(8))
+
+    def bmp24(w, h, rows_rgb):
+        stride = ((w * 3 + 3) // 4) * 4
+        data = b""
+        for row in reversed(rows_rgb):  # stored bottom-up
+            rb = b"".join(bytes([b, g, r]) for (r, g, b) in row)
+            data += rb + b"\0" * (stride - len(rb))
+        off = 54
+        return (b"BM" + (off + len(data)).to_bytes(4, "little")
+                + b"\0\0\0\0" + off.to_bytes(4, "little")
+                + (40).to_bytes(4, "little")
+                + w.to_bytes(4, "little", signed=True)
+                + h.to_bytes(4, "little", signed=True)
+                + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+                + (0).to_bytes(4, "little")
+                + len(data).to_bytes(4, "little") + b"\0" * 16) + data
+
+    rows = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+    w, h, c, px = decode_image_real(bmp24(2, 2, rows))
+    assert (w, h, c) == (2, 2, 3)
+    assert px.tolist() == [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12]
+
+    # fallback: non-image bytes → fake decoder, same tuple either way
+    blob = b"\x01\x02not-an-image"
+    assert auto_decode(blob)[:3] == fake_decode(blob)[:3]
+
+    # end-to-end through mapInPandas with the real decoder
+    df = spark.createDataFrame(
+        [("a", ppm), ("b", pgm), ("c", None)], ["url", "html"]
+    )
+    from py_schemax_spark.operators.multimodal import decode_image_real as d
+    meta = {r["key"]: r.asDict()
+            for r in image_metadata(df, decoder=d).collect()}
+    assert meta["a"]["width"] == 5 and meta["a"]["height"] == 3
+    assert meta["a"]["mean_intensity"] == float(np.mean(range(45)))
+    assert meta["b"]["channels"] == 1
+    assert "c" not in meta  # null payload skipped
