@@ -809,6 +809,41 @@ def q_image_meta(spark, sf_dir):
     return image_metadata(pages, key_col="url", payload_col="html")
 
 
+def q_tz_conformance(spark, sf_dir):
+    """Typed-column timezone assertion (round 3, closing the former
+    warning no-op): for a physical TIMESTAMP column, the declared
+    `timezone` is checked against the SESSION zone the instants were
+    parsed in. Runs schema_conformance twice over the derived pages
+    table — a conforming 'UTC' spec (session is UTC) and a mismatched
+    'America/New_York' spec — and returns the structural error rows;
+    the oracle is the single expected mismatch row."""
+    from py_schemax_spark.plans.compiler import schema_conformance
+
+    pages = pages_from_documents(spark, sf_dir)
+
+    def spec_with_tz(tz):
+        return validate_spec_dict(
+            {
+                "fqn": "warehouse.pages", "key": "url",
+                "columns": [
+                    {"name": "url", "type": "string"},
+                    {"name": "warc_ts", "type": "datetime",
+                     "timezone": tz},
+                    {"name": "html", "type": "binary"},
+                    {"name": "text", "type": "string"},
+                    {"name": "lang", "type": "string"},
+                ],
+            }
+        ).spec
+
+    errs = schema_conformance(pages, spec_with_tz("UTC"))
+    errs += schema_conformance(pages, spec_with_tz("America/New_York"))
+    return spark.createDataFrame(
+        [(e["type"], e["error_at"], e["message"]) for e in errs],
+        "err_type string, error_at string, message string",
+    )
+
+
 def q_image_meta_ppm(spark, sf_dir):
     """REAL image decode end-to-end, ORACLED: renders a deterministic
     P6 PPM per document (width = 1 + doc_id%13, height = 1 + doc_id%7,
@@ -905,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "image_meta": q_image_meta,
         "image_meta_ppm": q_image_meta_ppm,
+        "tz_conformance": q_tz_conformance,
         "image_resize": q_image_resize,
         "frame_sample": q_frame_sample,
     }
@@ -1403,6 +1439,15 @@ WHERE 1 = 0
 """,
         "ann_ivf_exact": ann_topk_sql,
         "frame_sample": frame_sample_sql,
+        # tz_conformance: the conforming spec contributes no rows; the
+        # mismatched spec contributes exactly this structural error
+        "tz_conformance": """
+SELECT 'timezone_mismatch' AS err_type,
+       '$.warc_ts.timezone' AS error_at,
+       'Column ''warc_ts'' declares timezone ''America/New_York'' but '
+         || 'the session parses and renders timestamps in ''UTC''.'
+         AS message
+""",
         # image_meta_ppm: every metadata column is a closed-form
         # function of doc_id (constant-pixel P6 payload rendered from
         # it): header = "P6\n" + w + " " + h + "\n255\n" = 9 + digits

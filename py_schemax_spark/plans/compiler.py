@@ -220,15 +220,21 @@ def compile_row_constraints(
             )
         if (
             cs.type in ("date", "datetime")
-            and (cs.format or cs.timezone)
+            and cs.format
             and isinstance(actual, (T.TimestampType, T.DateType))
         ):
+            # `format` stays a documented no-op on typed columns (the
+            # source text is gone after parsing); `timezone` on typed
+            # columns IS checked — as a session-timezone assertion in
+            # schema_conformance(), since Spark timestamps are
+            # UTC-normalized instants whose meaning depends on the
+            # session zone they were parsed in.
             import warnings as _warnings
 
             _warnings.warn(
-                f"column '{cs.name}': declared format/timezone is a no-op "
-                f"on a physical {actual.simpleString()} column (already "
-                "parsed; Spark timestamps are UTC-normalized instants)",
+                f"column '{cs.name}': declared format is a no-op on a "
+                f"physical {actual.simpleString()} column (already "
+                "parsed)",
                 stacklevel=2,
             )
 
@@ -369,16 +375,35 @@ def reduce_or(preds: list[Column]) -> Column:
     return out
 
 
+# session timezones accepted as "UTC" for the typed-column assertion
+_UTC_ALIASES = {"utc", "z", "+00:00", "+0000", "gmt", "etc/utc", "etc/gmt"}
+
+
+def _tz_equivalent(declared: str, session: str) -> bool:
+    a, b = declared.strip().lower(), session.strip().lower()
+    return a == b or (a in _UTC_ALIASES and b in _UTC_ALIASES)
+
+
 def schema_conformance(df: DataFrame, spec: TableSpec) -> list[dict]:
     """Driver-side structural check of the physical schema vs the spec —
     the analogue of extra_forbidden / missing at the document level
     (models.py extra="forbid"; validator messages 144-180).
+
+    Also asserts the SESSION timezone for datetime columns that are
+    physically TIMESTAMP and declare a ``timezone`` (reference
+    models.py:92-103): the stored instants were parsed/rendered in the
+    session zone, so a session zone that differs from the declared one
+    silently shifts every wall-clock value — a structural
+    configuration error, not a per-row one.
 
     Returns a list of error dicts (type, error_at, message); empty = ok.
     """
     errs: list[dict] = []
     spec_cols = {c.name for c in spec.columns}
     present = set(df.columns)
+    session_tz = df.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    )
     for cs in spec.columns:
         if cs.name not in present:
             errs.append(
@@ -386,6 +411,24 @@ def schema_conformance(df: DataFrame, spec: TableSpec) -> list[dict]:
                     "type": "missing",
                     "error_at": f"$.{cs.name}",
                     "message": f"Column '{cs.name}' is required but missing.",
+                }
+            )
+            continue
+        if (
+            cs.type == "datetime"
+            and cs.timezone
+            and isinstance(df.schema[cs.name].dataType, T.TimestampType)
+            and not _tz_equivalent(cs.timezone, session_tz)
+        ):
+            errs.append(
+                {
+                    "type": "timezone_mismatch",
+                    "error_at": f"$.{cs.name}.timezone",
+                    "message": (
+                        f"Column '{cs.name}' declares timezone "
+                        f"'{cs.timezone}' but the session parses and "
+                        f"renders timestamps in '{session_tz}'."
+                    ),
                 }
             )
     for name in df.columns:

@@ -361,3 +361,35 @@ def test_datetime_format_on_timestamp_column_warns_noop(spark):
         warnings.simplefilter("always")
         assert row_violations(df, spec).count() == 0
         assert any("no-op" in str(x.message) for x in w)
+
+
+def test_typed_timestamp_timezone_session_assertion(spark):
+    """Round-3: `timezone` on a physical TIMESTAMP column is no longer
+    a warning no-op — schema_conformance asserts the session timezone
+    (the zone the stored instants were parsed/rendered in) matches the
+    declaration; UTC aliases are equivalent."""
+    from py_schemax_spark.plans.compiler import schema_conformance
+
+    df = spark.createDataFrame(
+        [("k1",)], ["id"]
+    ).withColumn("ts", F.current_timestamp())
+
+    def mk(tz):
+        return _spec(
+            {
+                "fqn": "t", "key": "id",
+                "columns": [
+                    {"name": "id", "type": "string"},
+                    {"name": "ts", "type": "datetime", "timezone": tz},
+                ],
+            }
+        )
+
+    # session tz is UTC (session.py): UTC + aliases conform
+    assert schema_conformance(df, mk("UTC")) == []
+    assert schema_conformance(df, mk("Etc/UTC")) == []
+    errs = schema_conformance(df, mk("America/New_York"))
+    assert len(errs) == 1
+    assert errs[0]["type"] == "timezone_mismatch"
+    assert errs[0]["error_at"] == "$.ts.timezone"
+    assert "America/New_York" in errs[0]["message"]
