@@ -35,6 +35,12 @@ def _norm_text(c) -> F.Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+# Every persisted intermediate any operator in this module creates is
+# also recorded here, so a long-lived session (notebook, service) can
+# bulk-release without holding on to each result DataFrame.
+_PERSISTED_REGISTRY: list[DataFrame] = []
+
+
 def _track_persisted(result: DataFrame, intermediates: list) -> DataFrame:
     """Attach persisted intermediates to the returned DataFrame so a
     long-lived session can release them: operators in this module
@@ -42,9 +48,11 @@ def _track_persisted(result: DataFrame, intermediates: list) -> DataFrame:
     would otherwise run twice under a self-join); Spark gives no hook
     to unpersist automatically once the RESULT is materialized, so the
     caller owns the release — ``unpersist_intermediates(df)`` after
-    consuming ``df`` (tests and bench do; a one-shot job can skip it,
-    the cache dies with the session)."""
+    consuming ``df``, or ``release_all_intermediates()`` periodically
+    (tests, bench, and the parity harness do; a one-shot job can skip
+    it, the cache dies with the session)."""
     result._schemax_persisted = intermediates  # type: ignore[attr-defined]
+    _PERSISTED_REGISTRY.extend(intermediates)
     return result
 
 
@@ -53,6 +61,23 @@ def unpersist_intermediates(df: DataFrame) -> None:
     that produced ``df`` (no-op for untracked DataFrames)."""
     for cached in getattr(df, "_schemax_persisted", []):
         cached.unpersist()
+        try:
+            _PERSISTED_REGISTRY.remove(cached)
+        except ValueError:
+            pass
+
+
+def release_all_intermediates() -> int:
+    """Unpersist EVERY intermediate tracked since the last release and
+    return how many were dropped — the safety net for sessions that
+    run many dedup/similarity pipelines without keeping the result
+    handles around (unpersist is idempotent, so double-release via
+    ``unpersist_intermediates`` is harmless)."""
+    n = len(_PERSISTED_REGISTRY)
+    for cached in _PERSISTED_REGISTRY:
+        cached.unpersist()
+    _PERSISTED_REGISTRY.clear()
+    return n
 
 
 def _log_dropped_buckets(

@@ -752,3 +752,41 @@ def test_real_image_decoder_ppm_pgm_bmp(spark):
     assert meta["a"]["mean_intensity"] == float(np.mean(range(45)))
     assert meta["b"]["channels"] == 1
     assert "c" not in meta  # null payload skipped
+
+
+def test_long_session_no_persisted_rdd_growth(spark, corpus):
+    """Round-3 unpersist audit: a long-lived session running many
+    dedup/similarity pipelines without keeping result handles must not
+    accumulate persisted RDDs — release_all_intermediates() is the
+    bulk safety net (callers that do keep handles use
+    unpersist_intermediates, idempotent with the registry)."""
+    from py_schemax_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        release_all_intermediates,
+    )
+
+    def n_persisted():
+        # subtract test-fixture caches (corpus etc.) present before
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    corpus.count()  # materialize the fixture's own cache first
+    release_all_intermediates()
+    base = n_persisted()
+    for _ in range(3):
+        cand = minhash_lsh_candidates(
+            corpus, key_col="doc_id", num_hashes=16, bands=4,
+            log_dropped=False,
+        )
+        cand.count()
+        simhash_near_duplicates(
+            corpus, key_col="doc_id", max_hamming=12, log_dropped=False
+        ).count()
+        ngram_jaccard_pairs(
+            corpus, cand.select("key_a", "key_b"), key_col="doc_id",
+            threshold=0.0,
+        ).count()
+        # results dropped without unpersist_intermediates — the leak
+        # the registry exists to stop
+        dropped = release_all_intermediates()
+        assert dropped >= 3
+        assert n_persisted() == base

@@ -48,6 +48,8 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    from py_schemax_spark.operators.dedup import release_all_intermediates
+
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
@@ -63,6 +65,8 @@ def main() -> int:
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        finally:
+            release_all_intermediates()
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows, {time.time()-t0:.1f}s")
             continue
