@@ -24,7 +24,6 @@ from py_schemax_spark.operators.dedup import (
     exact_duplicates,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
-    simhash_bits,
     simhash_hex,
 )
 from py_schemax_spark.operators.drift import build_baseline, drift_verdicts
@@ -795,9 +794,11 @@ def q_minhash_containment(spark, sf_dir):
 def q_simhash(spark, sf_dir):
     """SimHash fingerprints (rows-only; near-dup detection asserted in
     pytest via simhash_near_duplicates)."""
+    from py_schemax_spark.operators.dedup import simhash_fingerprints
+
     d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id", simhash_hex(simhash_bits(F.col("text"))).alias("simhash")
+    return simhash_fingerprints(d).select(
+        F.col("k").alias("doc_id"), simhash_hex(F.col("fp")).alias("simhash")
     )
 
 

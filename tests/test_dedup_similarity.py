@@ -76,6 +76,23 @@ def test_ngram_jaccard_verification(corpus):
         assert 0.8 <= rows[(1, 4)] < 1.0
 
 
+def test_ngram_jaccard_prune_matches_unpruned(corpus):
+    """The candidate-prune semi-join (the 100-TB path: shingle only
+    docs that appear in candidates, not the whole corpus) must be
+    result-invariant — it only removes docs the join would drop
+    anyway."""
+    cand = minhash_lsh_candidates(
+        corpus, key_col="doc_id", num_hashes=64, bands=16
+    ).select("key_a", "key_b")
+    kw = dict(key_col="doc_id", threshold=0.0)
+    pruned = ngram_jaccard_pairs(corpus, cand, **kw)
+    full = ngram_jaccard_pairs(
+        corpus, cand, prune_to_candidates=False, **kw
+    )
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(pruned) == as_set(full) and pruned.count() > 0
+
+
 def test_simhash_properties(spark, corpus):
     fps = {
         r["doc_id"]: (r["hex"], r["bits"])
