@@ -350,6 +350,48 @@ def q_drift_buckets(spark, sf_dir):
     )
 
 
+def q_drift_grid_accuracy(spark, sf_dir):
+    """Accuracy oracle for the t-digest sketch path (the drift
+    analogue of minhash_containment / ann_lsh_containment): every
+    point of the estimated quantile grid must bracket its target rank
+    within TOL in RANK space — the guarantee t-digest actually makes,
+    stated tie-robustly for discrete data (doc lengths repeat):
+
+        P(X < v_q) <= q + TOL   and   P(X <= v_q) >= q - TOL
+
+    One wide aggregation computes both exact CDF sides for all 101
+    grid points in a single corpus pass (the grid itself is a KB-sized
+    driver value, like the IVF centroid set). Returns the grid points
+    violating either bound; the oracle is the empty set — any row is
+    a real sketch-accuracy bug."""
+    TOL = 0.05
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    base = build_baseline(docs, PAGES_SPEC)
+    grid = base.filter(F.col("column_name") == "text").first()["quantiles"]
+    lengths = docs.select(F.length("text").cast("double").alias("v"))
+    aggs = [F.count("v").alias("n")]
+    for i, v in enumerate(grid):
+        aggs.append(
+            F.sum((F.col("v") < F.lit(v)).cast("long")).alias(f"lt_{i}")
+        )
+        aggs.append(
+            F.sum((F.col("v") <= F.lit(v)).cast("long")).alias(f"le_{i}")
+        )
+    row = lengths.agg(*aggs).first()
+    n = row["n"]
+    bad = []
+    for i, v in enumerate(grid):
+        q = i / (len(grid) - 1)
+        rank_lt = row[f"lt_{i}"] / n
+        rank_le = row[f"le_{i}"] / n
+        if rank_lt > q + TOL or rank_le < q - TOL:
+            bad.append((round(q, 2), float(v), round(rank_lt, 6),
+                        round(rank_le, 6)))
+    return spark.createDataFrame(
+        bad, "q double, value double, rank_lt double, rank_le double"
+    )
+
+
 def q_drift_psi(spark, sf_dir):
     """t-digest drift verdicts (rows-only: sketch estimates are
     engine-specific): baseline from even doc_ids, current = odd ids —
@@ -914,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "drift_buckets": q_drift_buckets,
         "drift_psi": q_drift_psi,
+        "drift_grid_accuracy": q_drift_grid_accuracy,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_event_by_user": q_top_event_by_user,
@@ -1420,6 +1463,13 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         "quality_topk_per_lang": quality_topk_sql,
         "quantiles": quantiles_sql,
         "drift_buckets": drift_buckets_sql,
+        # drift_grid_accuracy: rank-space containment — any row is a
+        # sketch-accuracy bug, so the oracle is the empty set
+        "drift_grid_accuracy": """
+SELECT CAST(NULL AS DOUBLE) AS q, CAST(NULL AS DOUBLE) AS value,
+       CAST(NULL AS DOUBLE) AS rank_lt, CAST(NULL AS DOUBLE) AS rank_le
+WHERE 1 = 0
+""",
         "pricing_summary": pricing_sql,
         "revenue_by_nation": revenue_nation_sql,
         "top_event_by_user": top_event_sql,
