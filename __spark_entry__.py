@@ -189,6 +189,20 @@ def q_referential(spark, sf_dir):
     )
 
 
+def q_referential_large_dim(spark, sf_dir):
+    """V4 at non-broadcastable dimension scale (round 3): same check,
+    same violation rows, but the strategy a 10⁹-row URL-allowlist dim
+    forces — the fact's DISTINCT values anti-join the dim's key column
+    and the (tiny) invalid set broadcasts back as a left-semi tag, so
+    full fact rows never enter an exchange. ``max_broadcast_rows=0``
+    forces the path; ORACLED on the same SQL as `referential` (the two
+    strategies are result-identical by contract)."""
+    return referential_violations(
+        _docs(spark, sf_dir), DOCS_SPEC, {"lang_dim": _lang_dim(spark)},
+        max_broadcast_rows=0,
+    )
+
+
 def q_uniqueness(spark, sf_dir):
     """V3: duplicate attribution — later copy (by order col) flagged."""
     dup = _dup_injected(spark, sf_dir)
@@ -944,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_salted_exact": q_stats_salted_exact,
         "row_violations": q_row_violations,
         "referential": q_referential,
+        "referential_large_dim": q_referential_large_dim,
         "uniqueness": q_uniqueness,
         "extraction": q_extraction,
         "pages_violations": q_pages_violations,
@@ -1452,6 +1467,9 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         "stats_salted_exact": stats_salted_exact_sql,
         "row_violations": row_viol_sql,
         "referential": referential_sql,
+        # result-identical by contract to the broadcast strategy —
+        # same SQL, different physical plan on the Spark side
+        "referential_large_dim": referential_sql,
         "uniqueness": uniqueness_sql,
         "extraction": extraction_sql,
         "pages_violations": pages_viol_sql,

@@ -248,6 +248,53 @@ def test_referential_plan_is_broadcast(spark):
     assert "Broadcast" in plan  # no shuffle of the fact side
 
 
+def test_referential_large_dim_strategy_matches_broadcast(spark):
+    """max_broadcast_rows=0 forces the distinct-keys path (the shape a
+    non-broadcastable 10⁹-row dim needs): identical violation rows to
+    the broadcast anti-join, including when even the invalid set is
+    denied broadcast (max_invalid_broadcast_rows=0 → plain shuffle
+    semi-join fallback)."""
+    df = spark.createDataFrame(
+        [("k1", "en"), ("k2", "zz"), ("k3", None), ("k4", "xx"),
+         ("k5", "zz"), ("k6", "de")],
+        ["id", "lang"],
+    )
+    dim = spark.createDataFrame([("en",), ("de",)], ["lang"])
+    spec = _spec(
+        {
+            "fqn": "t",
+            "key": "id",
+            "columns": [
+                {"name": "id", "type": "string"},
+                {"name": "lang", "type": "string",
+                 "references": {"table": "lang_dim", "column": "lang"}},
+            ],
+        }
+    )
+    want = _rows(referential_violations(df, spec, {"lang_dim": dim}))
+    assert len(want) == 3  # k2, k4, k5
+    got = _rows(
+        referential_violations(
+            df, spec, {"lang_dim": dim}, max_broadcast_rows=0
+        )
+    )
+    assert got == want
+    got_shuffle_fallback = _rows(
+        referential_violations(
+            df, spec, {"lang_dim": dim},
+            max_broadcast_rows=0, max_invalid_broadcast_rows=0,
+        )
+    )
+    assert got_shuffle_fallback == want
+    # default (None) and a generous ceiling both keep the broadcast path
+    got_probe_small = _rows(
+        referential_violations(
+            df, spec, {"lang_dim": dim}, max_broadcast_rows=1000
+        )
+    )
+    assert got_probe_small == want
+
+
 def test_column_stats_exact_values(spark):
     df = spark.createDataFrame(
         [("a", 1), ("b", 2), ("b", None), (None, 4)],

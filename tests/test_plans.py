@@ -90,6 +90,36 @@ def test_referential_is_broadcast_no_fact_shuffle(spark, pages_parquet, lang_dim
     assert "Exchange hashpartitioning" not in plan, plan
 
 
+def test_referential_large_dim_never_shuffles_fact_rows(
+    spark, pages_parquet, lang_dim
+):
+    """Forced distinct-keys strategy: the only exchanges in the plan
+    carry DISTINCT values (`_v`) / dim keys (`_dim_value`) — never the
+    fact's key column — and the violating rows are tagged by a
+    broadcast left-semi probe, so full fact rows stay in place."""
+    spec = validate_spec_dict(
+        {
+            "fqn": "t", "key": "url",
+            "columns": [
+                {"name": "url", "type": "string"},
+                {"name": "lang", "type": "string",
+                 "references": {"table": "lang_dim", "column": "lang"}},
+            ],
+        }
+    ).spec
+    df = spark.read.parquet(pages_parquet)
+    out = referential_violations(
+        df, spec, {"lang_dim": lang_dim}, max_broadcast_rows=0
+    )
+    plan = _plan(out)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    # the invalid-set tag join is a broadcast probe
+    assert "BroadcastHashJoin" in plan, plan
+    # no exchange ever partitions on the fact key (full rows in place)
+    assert "hashpartitioning(url" not in plan, plan
+
+
 def test_stats_is_single_scan_partial_agg(spark, pages_parquet, pages_spec):
     df = spark.read.parquet(pages_parquet)
     plan = _plan(column_stats(df, pages_spec))
