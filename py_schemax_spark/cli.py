@@ -92,6 +92,11 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--dim", action="append", default=[],
                    metavar="NAME=PATH",
                    help="dimension table for referential checks")
+    v.add_argument("--dim-broadcast-limit", dest="dim_broadcast_limit",
+                   type=int, default=None, metavar="ROWS",
+                   help="rows above which a referential dim is checked "
+                        "via the distinct-keys strategy instead of a "
+                        "broadcast anti-join (default: always broadcast)")
     v.add_argument("--baseline", default=None,
                    help="drift baseline snapshot parquet")
     v.add_argument("--check", dest="checks", default=None,
@@ -238,6 +243,7 @@ def main(argv: Optional[list[str]] = None, spark=None) -> int:
                 "order_col": ns.order_col,
                 "required_attributes": ns.required_attributes,
                 "column_required_attributes": ns.column_required_attributes,
+                "dim_broadcast_limit": ns.dim_broadcast_limit,
             },
             config_files=tuple(ns.config_files) if ns.config_files else None,
         )
@@ -282,6 +288,7 @@ def main(argv: Optional[list[str]] = None, spark=None) -> int:
                 order_col=cfg.order_col,
                 checkpoint_dir=cfg.checkpoint_dir,
                 salt=cfg.salt,
+                dim_broadcast_limit=cfg.dim_broadcast_limit,
             )
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)

@@ -44,6 +44,7 @@ DEFAULTS: dict[str, Any] = {
     "order_col": None,
     "required_attributes": "",
     "column_required_attributes": "",
+    "dim_broadcast_limit": None,
 }
 
 _TOML_FILES = ("schemax.toml", "pyproject.toml")
@@ -125,6 +126,9 @@ class ValidateConfig:
     order_col: Optional[str] = None
     required_attributes: tuple[str, ...] = ()
     column_required_attributes: tuple[str, ...] = ()
+    # rows above which a referential dim stops being broadcast and the
+    # distinct-keys strategy runs instead (None = always broadcast)
+    dim_broadcast_limit: Optional[int] = None
 
     def validate(self) -> None:
         if self.output_format not in OUTPUT_FORMATS:
@@ -176,6 +180,11 @@ def resolve_config(
         required_attributes=_split(merged.get("required_attributes")),
         column_required_attributes=_split(
             merged.get("column_required_attributes")
+        ),
+        dim_broadcast_limit=(
+            int(merged["dim_broadcast_limit"])
+            if merged.get("dim_broadcast_limit") not in (None, "")
+            else None
         ),
     )
     cfg.validate()

@@ -64,6 +64,9 @@ class RunConfig:
     order_col: Optional[str] = None  # duplicate-attribution order (V3)
     checkpoint_dir: Optional[str] = None
     salt: int = 1  # salted stats pass
+    # referential dims above this many rows take the distinct-keys
+    # strategy instead of broadcast (None = always broadcast)
+    dim_broadcast_limit: Optional[int] = None
     drift_compression: float = 200.0
     drift_fan: int = 32
     # fuse extraction + tiny-dim referential into the rows projection
@@ -164,7 +167,8 @@ class ValidationRun:
             )
         if name == "referential":
             return referential_violations(
-                df, self.spec, self.dims, partition_expr=part
+                df, self.spec, self.dims, partition_expr=part,
+                max_broadcast_rows=self.config.dim_broadcast_limit,
             )
         raise ValueError(name)
 

@@ -180,6 +180,54 @@ def test_pyproject_toml_section(tmp_path, monkeypatch):
     assert cfg.output_format == "json"
 
 
+def test_dim_broadcast_limit_layers(tmp_path, monkeypatch):
+    """dim_broadcast_limit resolves through all four layers like every
+    other knob: default None (always broadcast), TOML < env < flag."""
+    monkeypatch.chdir(tmp_path)
+    assert resolve_config({}).dim_broadcast_limit is None
+    (tmp_path / "schemax.toml").write_text(
+        "[validate]\ndim_broadcast_limit = 500\n"
+    )
+    assert resolve_config({}).dim_broadcast_limit == 500
+    monkeypatch.setenv("SCHEMAX_SPARK_VALIDATE_DIM_BROADCAST_LIMIT", "7")
+    assert resolve_config({}).dim_broadcast_limit == 7
+    assert resolve_config(
+        {"dim_broadcast_limit": 0}
+    ).dim_broadcast_limit == 0
+
+
+def test_dim_broadcast_limit_cli_same_verdict(
+    spark, table_dir, spec_file, tmp_path, capsys
+):
+    """--dim-broadcast-limit 0 forces the distinct-keys referential
+    strategy end-to-end through the CLI; the verdict (exit code +
+    violation totals) is identical to the broadcast default."""
+    dim_path = str(tmp_path / "lang_dim")
+    spark.createDataFrame(
+        [("en",), ("de",), ("fr",)], ["lang"]
+    ).write.mode("overwrite").parquet(dim_path)
+    spec = SPEC_YAML.replace(
+        "  - name: lang\n    type: string\n",
+        "  - name: lang\n    type: string\n"
+        "    references: {table: lang_dim, column: lang}\n",
+    )
+    assert "references" in spec
+    sp = tmp_path / "spec_ref.yaml"
+    sp.write_text(spec)
+    base_args = [
+        "validate", table_dir, "--spec", str(sp),
+        "--dim", f"lang_dim={dim_path}",
+        "--check", "schema,rows,referential",
+    ]
+    code_bc = _main(spark, base_args)
+    out_bc = capsys.readouterr().out
+    code_dk = _main(spark, base_args + ["--dim-broadcast-limit", "0"])
+    out_dk = capsys.readouterr().out
+    assert code_bc == code_dk == 1
+    # the run-summary line (totals) must match exactly
+    assert out_bc.splitlines()[-1] == out_dk.splitlines()[-1]
+
+
 def test_invalid_config_value_raises():
     with pytest.raises(ValueError):
         resolve_config({"fail_mode": "sometimes"})
