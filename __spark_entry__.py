@@ -24,7 +24,6 @@ from py_schemax_spark.operators.dedup import (
     exact_duplicates,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
-    simhash_hex,
 )
 from py_schemax_spark.operators.drift import build_baseline, drift_verdicts
 from py_schemax_spark.operators.referential import referential_violations
@@ -849,12 +848,18 @@ def q_minhash_containment(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     """SimHash fingerprints (rows-only; near-dup detection asserted in
-    pytest via simhash_near_duplicates)."""
-    from py_schemax_spark.operators.dedup import simhash_fingerprints
+    pytest via simhash_near_duplicates). Uses the packed-long
+    fingerprint — hex output is byte-identical to the array path
+    (asserted in test_dedup_similarity)."""
+    from py_schemax_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_hex_packed,
+    )
 
     d = _docs(spark, sf_dir)
-    return simhash_fingerprints(d).select(
-        F.col("k").alias("doc_id"), simhash_hex(F.col("fp")).alias("simhash")
+    return simhash_fingerprints(d, packed=True).select(
+        F.col("k").alias("doc_id"),
+        simhash_hex_packed(F.col("fpl")).alias("simhash"),
     )
 
 

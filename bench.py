@@ -476,7 +476,65 @@ bus, NICs and disks; the logical plans are identical across levels
 the shuffle of pre-aggregated pairs (uniqueness) and KB-sized
 sketches (drift) — orders of magnitude below scan volume.
 """
+    md += _ladder_md()
     Path(__file__).parent.joinpath("BENCH.md").write_text(md)
+
+
+def _ladder_md() -> str:
+    """Render the dedup-ladder table from the most recent
+    tools/bench_dedup_ladder.py run (LADDER_LATEST.json), so full
+    bench runs — which rewrite BENCH.md — preserve it."""
+    p = Path(__file__).parent / "LADDER_LATEST.json"
+    if not p.exists():
+        return ""
+    lad = json.loads(p.read_text())
+    st = lad["stages"]
+
+    def row(key: str, label: str) -> str:
+        s = st.get(key)
+        if not s:
+            return ""
+        return f"| {label} | {s['sec']} | {s['pairs']:,} |\n"
+
+    gb = lad["rows"] * lad["avg_doc_bytes"] / 1e9
+    body = (
+        row("minhash_capped", f"MinHash-LSH candidates (cap={lad['cap']:,})")
+        + row("minhash_uncapped", "MinHash-LSH candidates UNCAPPED")
+        + row("simhash_capped", f"SimHash near-dups (cap={lad['cap']:,})")
+        + row("simhash_uncapped", "SimHash near-dups UNCAPPED")
+        + row("jaccard_verify", "n-gram Jaccard verify over capped candidates")
+        + row(
+            "ann_blocked",
+            f"blocked all-pairs cosine ≥0.8 (n={lad['ann_rows']:,} embeddings)",
+        )
+    )
+    return f"""
+## Dedup ladder at realistic document scale (round 3)
+
+The headline testdata is ~250-byte docs from a 38-word vocabulary —
+DEGENERATE for LSH (byte-5-gram Jaccard between unrelated docs ~0.5,
+so banding collides nearly everything). `tools/bench_dedup_ladder.py`
+benchmarks the regime real crawls live in: {lad['rows']:,} docs of
+~{lad['avg_doc_bytes']:.0f} bytes ({gb:.1f} GB text) whose words are
+md5-hex strings (unbounded vocabulary → Jaccard ~0 between unrelated
+docs), with a planted boilerplate cluster of {lad['hot_docs']:,}
+IDENTICAL pages (the hot-LSH-bucket case the round-3 population caps
+exist for) and near-dup families at Jaccard ≈ 0.98. local[{lad['cpus']}],
+each stage timed as a full materialization.
+
+| stage | wall sec | pairs emitted |
+|---|---|---|
+{body}
+Reading: the population cap turns the boilerplate bucket from a
+C({lad['hot_docs']:,}, 2) ≈ {lad['hot_docs'] * (lad['hot_docs'] - 1) // 2:,}-pair
+explosion into a logged drop (exact duplicates remain exact-dedup's
+job — `minhash_containment` stays green), while the near-dup families
+still surface. At 10¹²-doc scale the uncapped shape is not slow but
+IMPOSSIBLE (one 10⁶-doc bucket → 5·10¹¹ pairs from one task group);
+the capped shape is linear in corpus size + quadratic only within the
+cap. Reproduce: `python tools/bench_dedup_ladder.py` (env knobs in
+its docstring).
+"""
 
 
 if __name__ == "__main__":

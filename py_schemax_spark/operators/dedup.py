@@ -464,24 +464,25 @@ def ngram_jaccard_pairs(
 # --- SimHash -----------------------------------------------------------------
 
 
-@pandas_udf(T.ArrayType(T.IntegerType()))
-def _simhash_votes_udf(hash_arrays: pd.Series) -> pd.Series:
-    """Arrow-vectorized per-bit majority vote over PRE-HASHED tokens:
-    the input is ``array<long>`` of per-token xxhash64 values computed
-    JVM-side, so no Python code runs per token — the batch work is
-    pure numpy: concatenate the batch's hash arrays, unpack into a
+def _simhash_vote_bits(hash_arrays: pd.Series):
+    """Shared vote kernel for the SimHash UDFs: per-bit majority vote
+    over PRE-HASHED tokens (``array<long>`` of per-token xxhash64
+    values computed JVM-side, so no Python code runs per token). Pure
+    numpy: concatenate the batch's hash arrays, unpack into a
     (total_tokens × 64) ±1 matrix, segmented-sum per row
-    (``add.reduceat``), sign → bit. Null rows (null text upstream)
-    propagate as null fingerprints; per-bit votes are bounded by the
-    same ~32M-element chunking idea as minhash via Arrow batch sizing
-    (64 × tokens int32 ≈ 256 B/token — a 10k-row × 400-token batch is
-    ~1 GB peak, acceptable; raise spark.sql.execution.arrow
-    .maxRecordsPerBatch with care on KB-sized docs)."""
+    (``add.reduceat``), sign → bit. Returns ``(rows, bits)`` where
+    ``rows`` is the per-row input (None for null text upstream) and
+    ``bits`` the (n_valid × 64) 0/1 matrix (None if no valid rows).
+    Per-bit votes are bounded by the same ~32M-element chunking idea
+    as minhash via Arrow batch sizing (64 × tokens int32 ≈ 256 B/token
+    — a 10k-row × 400-token batch is ~1 GB peak, acceptable; raise
+    spark.sql.execution.arrow.maxRecordsPerBatch with care on KB-sized
+    docs)."""
     rows = [None if t is None else np.asarray(t, dtype=np.int64)
             for t in hash_arrays]
     valid = [r for r in rows if r is not None and r.size > 0]
     if not valid:
-        return pd.Series(rows, dtype=object)
+        return rows, None
     lengths = np.fromiter((r.size for r in valid), dtype=np.int64,
                           count=len(valid))
     flat = np.concatenate(valid).view(np.uint64)
@@ -492,6 +493,14 @@ def _simhash_votes_udf(hash_arrays: pd.Series) -> pd.Series:
     np.cumsum(lengths[:-1], out=offsets[1:])
     votes = np.add.reduceat(pm1, offsets, axis=0)
     bits = (votes > 0).astype(np.int32)
+    return rows, bits
+
+
+@pandas_udf(T.ArrayType(T.IntegerType()))
+def _simhash_votes_udf(hash_arrays: pd.Series) -> pd.Series:
+    """64-bit SimHash as ``array<int>`` of bits (index 0 = LSB) —
+    the display/expression-level shape (`simhash_hex` packs it)."""
+    rows, bits = _simhash_vote_bits(hash_arrays)
     out: list = []
     vi = 0
     for r in rows:
@@ -501,6 +510,38 @@ def _simhash_votes_udf(hash_arrays: pd.Series) -> pd.Series:
             out.append(np.zeros(64, dtype=np.int32))
         else:
             out.append(bits[vi])
+            vi += 1
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(T.LongType())
+def _simhash_packed_udf(hash_arrays: pd.Series) -> pd.Series:
+    """64-bit SimHash packed into ONE long (two's-complement
+    reinterpretation of the uint64 whose bit i is fingerprint bit i).
+    This is the JOIN shape: chunk keys become shift/mask expressions
+    and Hamming distance becomes codegen'd ``bit_count(a ^ b)`` —
+    measured on the 2M-doc diverse-corpus ladder, the interpreted
+    64-element ``zip_with``/``aggregate`` hamming over ~10⁸ random
+    16-bit-chunk collision pairs dominated the whole simhash stage,
+    and the packed long also shrinks both join sides' shuffle payload
+    64×."""
+    rows, bits = _simhash_vote_bits(hash_arrays)
+    if bits is not None:
+        shifts = np.arange(64, dtype=np.uint64)
+        packed = (
+            (bits.astype(np.uint64) << shifts[None, :])
+            .sum(axis=1, dtype=np.uint64)
+            .view(np.int64)
+        )
+    out: list = []
+    vi = 0
+    for r in rows:
+        if r is None:
+            out.append(None)
+        elif r.size == 0:
+            out.append(0)
+        else:
+            out.append(int(packed[vi]))
             vi += 1
     return pd.Series(out, dtype=object)
 
@@ -520,9 +561,10 @@ def simhash_bits(text_col, token_split: str = r"\s+") -> F.Column:
     engine-internal (rows-only query, semantic pytest assertions), not
     a persisted contract.
 
-    The fingerprint stays an array (not a packed long): chunk bucketing
-    hashes slices of it and Hamming distance is an element-wise
-    aggregate, so packing would only add sign-bit gymnastics.
+    This array shape is the display/expression-level twin; the join
+    path (`simhash_near_duplicates`) uses the packed-long fingerprint
+    (`simhash_fingerprints(packed=True)`) so chunk keys and Hamming
+    distance stay in codegen (`bit_count(a ^ b)`).
     """
     toks = F.split(_norm_text(text_col), token_split)
     return _simhash_votes_udf(F.transform(toks, lambda t: F.xxhash64(t)))
@@ -533,6 +575,7 @@ def simhash_fingerprints(
     text_col: str = "text",
     key_col: str = "doc_id",
     token_split: str = r"\s+",
+    packed: bool = False,
 ) -> DataFrame:
     """``(k, fp)`` SimHash fingerprints with the token array
     MATERIALIZED as a column attribute before the per-token hash:
@@ -541,7 +584,14 @@ def simhash_fingerprints(
     0.70 s → 0.19 s per 20k-doc batch), so the DataFrame-level path
     tokenizes into ``_tok`` first and every HOF sees only attribute
     references. ``simhash_bits`` remains the expression-level twin for
-    inline use on short texts."""
+    inline use on short texts.
+
+    ``packed=True`` returns ``(k, fpl)`` with the 64 bits packed into
+    one long (bit i of the uint64 = fingerprint bit i, reinterpreted
+    two's-complement) — the join/shuffle shape: 64× smaller rows,
+    chunk keys by shift/mask, Hamming by ``bit_count(a ^ b)``, all
+    codegen."""
+    vote = _simhash_packed_udf if packed else _simhash_votes_udf
     return (
         df.filter(F.col(text_col).isNotNull())
         .select(
@@ -550,9 +600,9 @@ def simhash_fingerprints(
         )
         .select(
             "k",
-            _simhash_votes_udf(
+            vote(
                 F.transform(F.col("_tok"), lambda t: F.xxhash64(t))
-            ).alias("fp"),
+            ).alias("fpl" if packed else "fp"),
         )
     )
 
@@ -572,6 +622,14 @@ def simhash_hex(bits_col) -> F.Column:
     return F.concat(
         *[F.lpad(F.lower(F.hex(v)), 4, "0") for v in chunk_vals]
     )
+
+
+def simhash_hex_packed(fpl_col) -> F.Column:
+    """16-char hex of a packed-long fingerprint — byte-identical to
+    ``simhash_hex`` over the equivalent bit array (Spark ``hex`` on a
+    long renders the full two's-complement uint64; lpad covers small
+    positives)."""
+    return F.lpad(F.lower(F.hex(fpl_col)), 16, "0")
 
 
 def simhash_near_duplicates(
@@ -597,25 +655,36 @@ def simhash_near_duplicates(
     Pairs in a dropped bucket can still meet via their other three
     chunks. The chunk stream is persisted so the fingerprint pipeline
     (normalize → tokenize → Arrow bit votes) runs once, not twice.
+
+    Join shape (round 3): the fingerprint rides the join as ONE packed
+    long — chunk keys are shift/mask expressions and the exact verify
+    is codegen'd ``bit_count(l ^ r)``. The previous array fingerprint
+    paid an interpreted 64-element ``zip_with``/``aggregate`` per
+    joined pair; on a diverse 2M-doc corpus the 16-bit chunk space
+    (65k values) yields ~30-doc random buckets → ~10⁸ collision pairs,
+    and that interpreted verify dominated the stage.
     """
     from pyspark import StorageLevel
 
-    fp = simhash_fingerprints(df, text_col=text_col, key_col=key_col)
+    fp = simhash_fingerprints(df, text_col=text_col, key_col=key_col,
+                              packed=True)
     chunks = fp.select(
         "k",
-        "fp",
+        "fpl",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.xxhash64(F.slice("fp", 16 * i + 1, 16)).alias("val"),
+                        F.shiftrightunsigned(F.col("fpl"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
                     )
                     for i in range(4)
                 ]
             )
         ).alias("c"),
-    ).select("k", "fp", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    ).select("k", "fpl", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
     wb = Window.partitionBy("chunk", "val")
     chunks = chunks.withColumn("_n", F.count(F.lit(1)).over(wb)).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -630,11 +699,7 @@ def simhash_near_duplicates(
         joinable = chunks
     joinable = joinable.drop("_n")
     l, r = joinable.alias("l"), joinable.alias("r")
-    hamming = F.aggregate(
-        F.zip_with(F.col("l.fp"), F.col("r.fp"), lambda a, b: F.abs(a - b)),
-        F.lit(0),
-        lambda acc, d: acc + d,
-    )
+    hamming = F.bit_count(F.col("l.fpl").bitwiseXOR(F.col("r.fpl")))
     return _track_persisted(
         l.join(
             r,

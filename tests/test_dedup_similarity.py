@@ -117,6 +117,40 @@ def test_simhash_properties(spark, corpus):
     assert (5, 6) not in pairs
 
 
+def test_simhash_packed_long_matches_bit_array(spark, corpus):
+    """The packed-long fingerprint (the join/shuffle shape) must be a
+    bit-exact repack of the array fingerprint: identical hex, and
+    codegen'd bit_count(xor) hamming == the element-wise array
+    hamming, for every doc including empty/whitespace-only text."""
+    from py_schemax_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_hex_packed,
+    )
+
+    extra = spark.createDataFrame(
+        [(100, " "), (101, "solitary")], ["doc_id", "text"]
+    )
+    docs = corpus.select("doc_id", "text").unionByName(extra)
+    arr = {
+        r["k"]: (r["hex"], tuple(r["fp"]))
+        for r in simhash_fingerprints(docs)
+        .select("k", "fp", simhash_hex(F.col("fp")).alias("hex"))
+        .collect()
+    }
+    packed = {
+        r["k"]: (r["hex"], r["fpl"])
+        for r in simhash_fingerprints(docs, packed=True)
+        .select("k", "fpl", simhash_hex_packed(F.col("fpl")).alias("hex"))
+        .collect()
+    }
+    assert set(arr) == set(packed)
+    for k, (hex_a, bits) in arr.items():
+        hex_p, fpl = packed[k]
+        assert hex_a == hex_p, k
+        expect = sum(b << i for i, b in enumerate(bits))
+        assert fpl & 0xFFFFFFFFFFFFFFFF == expect, k
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     import numpy as np

@@ -215,15 +215,25 @@ def main() -> None:
 
     # --- blocked all-pairs over synthetic embeddings -----------------
     # deterministic 64-dim vectors from the row id (pure expression —
-    # no Python in datagen); all-pairs is O(n²) so it gets its own n
+    # no Python in datagen); all-pairs is O(n²) so it gets its own n.
+    # Unrelated uniform vectors never reach cosine 0.8, so every
+    # ~997th row copies its predecessor's vector — planted duplicate
+    # pairs that must surface in the result (pair-emission check, and
+    # the output path is part of what's timed).
     emb = (
         spark.range(ANN_ROWS)
         .select(
             F.col("id").alias("vec_id"),
+            F.when(F.col("id") % 997 == 1, F.col("id") - 1)
+            .otherwise(F.col("id"))
+            .alias("_seed"),
+        )
+        .select(
+            "vec_id",
             F.transform(
                 F.sequence(F.lit(1), F.lit(64)),
                 lambda i: (
-                    F.pmod(F.xxhash64(F.col("id"), i), F.lit(2000))
+                    F.pmod(F.xxhash64(F.col("_seed"), i), F.lit(2000))
                     .cast("double") / 1000.0 - 1.0
                 ),
             ).cast("array<float>").alias("embedding"),
@@ -250,6 +260,11 @@ def main() -> None:
         "stages": results,
     }
     print("\n" + json.dumps(out))
+    # drop the result where bench.py's BENCH.md renderer picks it up,
+    # so full bench runs (which rewrite BENCH.md) keep the ladder table
+    Path(__file__).resolve().parent.parent.joinpath(
+        "LADDER_LATEST.json"
+    ).write_text(json.dumps(out) + "\n")
     spark.stop()
 
 
