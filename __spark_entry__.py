@@ -956,6 +956,88 @@ def q_frame_sample(spark, sf_dir):
                              payload_col="html")
 
 
+def q_repetition_profile(spark, sf_dir):
+    """Gopher-style within-doc repetition signals (duplicated-token
+    basis points, top-token frequency + deterministic tie-broken top
+    token), ORACLED integer-exactly: DuckDB recomputes the same
+    explode → two-level aggregation."""
+    from py_schemax_spark.operators.textstats import repetition_profile
+
+    d = _docs(spark, sf_dir).filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    return repetition_profile(d, text_col="text", key_col="doc_id")
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII detection + redaction, ORACLED byte-exactly: the corpus
+    text contains no PII, so the query PLANTS deterministic emails /
+    IPv4s / phones (pure functions of doc_id, identical expression in
+    the DuckDB oracle) and both engines must agree on per-class match
+    counts AND the md5 of the fully redacted text. The patterns avoid
+    lookaround so Java regex (Spark) and RE2 (DuckDB) have identical
+    semantics."""
+    from py_schemax_spark.operators.pii import pii_scan
+
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".5"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" call +1 555 01"),
+                    F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                    F.lit(" 0199"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scan(planted, text_col="text", key_col="doc_id")
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-CLUSTER formation — the stage after pairwise verify:
+    connected components (hash-min label propagation, no driver-side
+    graph) over the exact n-gram-Jaccard pairs of `ngram_jaccard`,
+    then per-doc cluster assignment with min-key survivor selection.
+    ORACLED end-to-end: DuckDB recomputes the pairs AND the transitive
+    closure via a recursive CTE — transitivity is genuinely exercised
+    (a~b, b~c chains collapse without a direct a~c pair)."""
+    from py_schemax_spark.operators.dedup import dedup_clusters
+
+    dup = _dup_injected(spark, sf_dir).filter(F.col("text").isNotNull())
+    bkt = F.floor(F.col("doc_id") / 10).alias("bkt")
+    a = dup.select(F.col("row_id").alias("key_a"), bkt)
+    b = dup.select(F.col("row_id").alias("key_b"), bkt)
+    cand = (
+        a.join(b, "bkt")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+    )
+    pairs = ngram_jaccard_pairs(
+        dup, cand, text_col="text", key_col="row_id", threshold=0.2
+    ).select("key_a", "key_b")
+    return dedup_clusters(dup, pairs, key_col="row_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats": q_stats,
@@ -1007,6 +1089,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tz_conformance": q_tz_conformance,
         "image_resize": q_image_resize,
         "frame_sample": q_frame_sample,
+        "repetition_profile": q_repetition_profile,
+        "pii_scan": q_pii_scan,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1375,8 +1460,7 @@ SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
     # with '0' (hex of the zero byte) to at least one window. Character
     # shingling would diverge on any multibyte text ('café' → 26 char
     # 5-grams vs 28 byte 5-grams) and on <5-char texts.
-    ngram_jaccard_sql = f"""
-WITH {_DUP_SQL_CTE.strip()},
+    jaccard_ctes = f"""{_DUP_SQL_CTE.strip()},
 d AS (
   SELECT row_id, doc_id,
          rpad(hex(encode({_NORM_SQL})),
@@ -1400,11 +1484,107 @@ j AS (
          len(list_intersect(sa, sb)) AS n_inter,
          len(list_distinct(list_concat(sa, sb))) AS n_union
   FROM cand
-)
+)"""
+
+    ngram_jaccard_sql = f"""
+WITH {jaccard_ctes}
 SELECT key_a, key_b, n_inter, n_union,
        CAST(floor(n_inter * 10000.0 / n_union) AS BIGINT) AS jaccard_bp
 FROM j WHERE round(n_inter * 1.0 / n_union, 4) >= 0.2
 """
+
+    # dedup_clusters: transitive closure of the same verified pairs —
+    # min reachable label over the symmetrized edge set (recursive CTE
+    # with set-union dedup = guaranteed fixpoint), then every doc gets
+    # its component min (or itself when untouched by any pair)
+    dedup_clusters_sql = f"""
+WITH RECURSIVE {jaccard_ctes},
+prs AS (
+  SELECT key_a, key_b FROM j
+  WHERE round(n_inter * 1.0 / n_union, 4) >= 0.2
+),
+edges AS (
+  SELECT key_a AS u, key_b AS v FROM prs
+  UNION
+  SELECT key_b AS u, key_a AS v FROM prs
+),
+reach(u, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+),
+comp AS (SELECT u, min(lbl) AS cluster_id FROM reach GROUP BY u)
+SELECT dd.row_id,
+       coalesce(c.cluster_id, dd.row_id) AS cluster_id,
+       (dd.row_id = coalesce(c.cluster_id, dd.row_id)) AS is_survivor
+FROM dupdocs dd LEFT JOIN comp c ON c.u = dd.row_id
+WHERE dd.text IS NOT NULL
+"""
+
+    # repetition_profile: same explode → two-level aggregation, all
+    # counters integer-exact; top-token tie-break = min token at the
+    # max per-doc frequency
+    repetition_sql = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct, max(c) AS top_token_n
+  FROM tc GROUP BY 1
+),
+top AS (
+  SELECT tc.doc_id, min(tok) AS top_token
+  FROM tc JOIN agg ON tc.doc_id = agg.doc_id AND tc.c = agg.top_token_n
+  GROUP BY 1
+)
+SELECT a.doc_id, n_tokens, n_distinct,
+       CAST(floor((n_tokens - n_distinct) * 10000.0 / n_tokens) AS BIGINT)
+         AS dup_token_bp,
+       top_token_n, top_token
+FROM agg a JOIN top USING (doc_id)
+"""
+
+    # pii_scan: identical planted-PII expression, identical RE2/Java-
+    # compatible patterns (imported from the operator module so the
+    # two sides cannot drift), byte-exact redaction md5. Built by
+    # concatenation — the patterns contain regex braces that f-strings
+    # would mangle.
+    from py_schemax_spark.operators.pii import PII_PATTERNS
+
+    _pp = {k: p for k, p, _ in PII_PATTERNS}
+    _planted_sql = (
+        "text"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||"
+        " CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' ||"
+        " CAST(doc_id % 256 AS VARCHAR) || '.5' ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN ' call +1 555 01' ||"
+        " lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' 0199'"
+        " ELSE '' END"
+    )
+    pii_sql = (
+        "WITH t AS (SELECT doc_id, "
+        + _planted_sql
+        + " AS t2 FROM documents),\n"
+        "r AS (SELECT doc_id, t2,\n"
+        "  regexp_replace(regexp_replace(regexp_replace(t2,\n"
+        "    '" + _pp["email"] + "', '<EMAIL>', 'g'),\n"
+        "    '" + _pp["ipv4"] + "', '<IP>', 'g'),\n"
+        "    '" + _pp["phone"] + "', '<PHONE>', 'g') AS red FROM t)\n"
+        "SELECT doc_id,\n"
+        "  CAST(len(regexp_extract_all(t2, '" + _pp["email"]
+        + "')) AS BIGINT) AS n_email,\n"
+        "  CAST(len(regexp_extract_all(t2, '" + _pp["ipv4"]
+        + "')) AS BIGINT) AS n_ipv4,\n"
+        "  CAST(len(regexp_extract_all(t2, '" + _pp["phone"]
+        + "')) AS BIGINT) AS n_phone,\n"
+        "  CAST(length(red) AS BIGINT) AS redacted_len,\n"
+        "  md5(red) AS redacted_md5\n"
+        "FROM r"
+    )
 
     # containment contract: the Spark query returns exact-dup pairs
     # MISSING from the LSH candidates — correct iff EMPTY, so the
@@ -1541,4 +1721,7 @@ FROM documents
         "ann_pairs_blocked": ann_pairs_sql,
         "ann_topk": ann_topk_sql,
         "lang_id": lang_id_sql,
+        "repetition_profile": repetition_sql,
+        "pii_scan": pii_sql,
+        "dedup_clusters": dedup_clusters_sql,
     }

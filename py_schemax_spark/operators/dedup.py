@@ -716,3 +716,126 @@ def simhash_near_duplicates(
         .distinct(),
         [chunks],
     )
+
+
+# --- Cluster formation (the last stage of the dedup ladder) ------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "key_a",
+    dst: str = "key_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over verified duplicate PAIRS — the stage
+    that turns pairwise near-dup evidence into dedup CLUSTERS (a~b and
+    b~c must collapse into one keep-one group even when a~c was never
+    tested). Returns ``(node, component)`` where ``component`` is the
+    minimum node id in the component under the column type's natural
+    ordering (lexicographic for strings) — the conventional survivor
+    key.
+
+    Algorithm: hash-min label propagation. Each round every node takes
+    the min of its own label and its neighbors' labels; labels are
+    monotone non-increasing and fix exactly at the component minimum
+    after ≤ diameter rounds. Each round is one shuffle join
+    (edges ⋈ labels) plus one hash aggregation — no driver-side graph,
+    no collect.
+
+    Scale shape: dedup graphs are unions of small dense clusters
+    (bounded by the LSH bucket caps upstream), so the diameter — hence
+    the round count — is tiny regardless of corpus size; ``max_iter``
+    is a safety bound for adversarial chains, and hitting it raises
+    rather than returning silently-unconverged labels. Convergence is
+    detected by an early-exit changed-row probe (a join on the
+    previous round's labels with ``limit(1)``) — labels only
+    decrease, so one unchanged round is a fixed point. For web-scale
+    graphs with genuinely long chains, swap in large-star/small-star
+    (Kiveris et al. 2014) — same DataFrame surface.
+
+    Lineage is truncated every round with ``localCheckpoint`` —
+    persist alone caches the DATA but each round's logical plan would
+    still nest all previous rounds', and analysis time grows
+    exponentially (measured: a 9-round chain never finished planning).
+    The iterative-algorithm rule: checkpoint, don't just cache. (On a
+    preemptible cluster use a reliable ``checkpoint()`` dir instead —
+    localCheckpoint data dies with its executor.)
+    """
+    from pyspark import StorageLevel
+
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select("u").distinct().withColumn("lbl", F.col("u"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.withColumnRenamed("u", "v"), "v"
+        ).select("u", "lbl")
+        new = (
+            labels.union(msgs)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    return _track_persisted(
+        labels.select(F.col("u").alias("node"), F.col("lbl").alias("component")),
+        [edges],
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "doc_id",
+    src: str = "key_a",
+    dst: str = "key_b",
+) -> DataFrame:
+    """Cluster assignment for every document: docs reached by a
+    duplicate pair get their component's min key as ``cluster_id``;
+    untouched docs are their own singleton cluster. ``is_survivor``
+    marks the one kept doc per cluster (the min key). The anti-join
+    side never shuffles full rows — components is a tiny (nodes-in-
+    pairs)-sized table and broadcasts."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    keyed = df.select(F.col(key_col))
+    out = (
+        keyed.join(
+            F.broadcast(comp.withColumnRenamed("node", key_col)),
+            key_col,
+            "left",
+        )
+        .select(
+            key_col,
+            F.coalesce("component", F.col(key_col)).alias("cluster_id"),
+        )
+        .withColumn(
+            "is_survivor", (F.col(key_col) == F.col("cluster_id"))
+        )
+    )
+    # comp's intermediates are already in the registry — re-attach for
+    # per-result release without double-registering them.
+    out._schemax_persisted = getattr(  # type: ignore[attr-defined]
+        comp, "_schemax_persisted", []
+    )
+    return out

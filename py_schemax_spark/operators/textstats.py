@@ -170,6 +170,53 @@ def rolling_fingerprints(
     return out.drop("_rf_toks", "_rf_idx")
 
 
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals, integer-exact:
+
+    ``(key, n_tokens, n_distinct, dup_token_bp, top_token_n,
+    top_token)`` where ``dup_token_bp`` is the duplicated-token
+    fraction in basis points (``floor((n_tokens - n_distinct) * 1e4 /
+    n_tokens)``), ``top_token_n`` the highest single-token frequency
+    and ``top_token`` the lexicographically-smallest token attaining
+    it (deterministic tie-break). High ``dup_token_bp`` /
+    ``top_token_n`` flag boilerplate and degenerate generations — the
+    standard repetition filters in web-corpus curation.
+
+    Shape at scale: explode → two-level hash aggregation (word-count
+    shape, map-side partial agg) → per-doc agg; the tie-break join
+    reuses the ``(key, tok)`` aggregation output on both sides, so the
+    second exchange is over per-doc rows, not tokens. Docs with no
+    tokens (empty/whitespace text) emit no row.
+    """
+    k = F.col(key_col)
+    toks = df.select(k, F.explode(tokens(F.col(text_col))).alias("tok"))
+    tc = toks.groupBy(key_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    agg = tc.groupBy(key_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_token_n"),
+    )
+    top = (
+        tc.join(agg.select(key_col, "top_token_n"), key_col)
+        .filter(F.col("c") == F.col("top_token_n"))
+        .groupBy(key_col)
+        .agg(F.min("tok").alias("top_token"))
+    )
+    return agg.join(top, key_col).select(
+        k,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.floor(
+            (F.col("n_tokens") - F.col("n_distinct")) * 10000
+            / F.col("n_tokens")
+        ).cast("long").alias("dup_token_bp"),
+        F.col("top_token_n").cast("long").alias("top_token_n"),
+        "top_token",
+    )
+
+
 def text_profile(
     df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
 ) -> DataFrame:

@@ -841,3 +841,113 @@ def test_long_session_no_persisted_rdd_growth(spark, corpus):
         dropped = release_all_intermediates()
         assert dropped >= 3
         assert n_persisted() == base
+
+
+def test_connected_components_transitive_chain(spark):
+    """Hash-min label propagation must collapse a~b~c~d chains (no
+    direct a~d pair) and leave disjoint clusters apart; dedup_clusters
+    assigns untouched docs to their own singleton cluster and marks
+    min-key survivors."""
+    from py_schemax_spark.operators.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("c", "d"), ("x", "y")],
+        ["key_a", "key_b"],
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a",
+                    "x": "x", "y": "x"}
+
+    docs = spark.createDataFrame(
+        [(k,) for k in ["a", "b", "c", "d", "x", "y", "solo"]],
+        ["doc_id"],
+    )
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert rows == {
+        "a": ("a", True), "b": ("a", False), "c": ("a", False),
+        "d": ("a", False), "x": ("x", True), "y": ("x", False),
+        "solo": ("solo", True),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 9-node path graph needs multiple propagation rounds — the
+    early-exit loop must iterate to the true fixpoint, not stop after
+    one round."""
+    from py_schemax_spark.operators.dedup import connected_components
+
+    n = 9
+    pairs = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(n - 1)], ["key_a", "key_b"]
+    )
+    comp = {r["node"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {"n0"}
+    assert len(comp) == n
+
+
+def test_pii_scan_planted_exact(spark):
+    """Counts per PII class and the redacted text must be exact on
+    planted values; clean text passes through untouched."""
+    from py_schemax_spark.operators.pii import pii_scan, redact_pii
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "mail me at a.b+c@x-corp.io or admin@example.org thanks"),
+        (2, "server 192.168.1.200 and 10.0.0.5 are up"),
+        (3, "call +44 207 9460 018 today"),
+        (4, "no pii here at all"),
+        (5, "mixed bob@x.co from 8.8.8.8 call +1 555 0100 0199"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in pii_scan(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (2, 0, 0)
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 2, 0)
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 1)
+    assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) == (0, 0, 0)
+    assert (out[5]["n_email"], out[5]["n_ipv4"], out[5]["n_phone"]) == (1, 1, 1)
+
+    red = {
+        r["doc_id"]: r["red"]
+        for r in df.select(
+            "doc_id", redact_pii(F.col("text")).alias("red")
+        ).collect()
+    }
+    assert red[1] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert red[2] == "server <IP> and <IP> are up"
+    assert red[3] == "call <PHONE> today"
+    assert red[4] == "no pii here at all"
+    assert red[5] == "mixed <EMAIL> from <IP> call <PHONE>"
+
+
+def test_repetition_profile_exact(spark):
+    """Integer-exact repetition counters with deterministic top-token
+    tie-break (min token among max frequency)."""
+    from py_schemax_spark.operators.textstats import repetition_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a b"),
+            (2, "b a b a"),
+            (3, "unique words only here"),
+            (4, "   "),
+            (5, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_profile(df).collect()}
+    assert set(out) == {1, 2, 3}  # empty/null docs emit no row
+    assert out[1] == {"doc_id": 1, "n_tokens": 3, "n_distinct": 2,
+                      "dup_token_bp": 3333, "top_token_n": 2,
+                      "top_token": "a"}
+    assert out[2]["top_token_n"] == 2 and out[2]["top_token"] == "a"
+    assert out[3]["dup_token_bp"] == 0 and out[3]["top_token_n"] == 1
