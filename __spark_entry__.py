@@ -1038,6 +1038,67 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(dup, pairs, key_col="row_id")
 
 
+def q_asof_purchase(spark, sf_dir):
+    """As-of join (Spark has no built-in; DuckDB oracles with its
+    native ASOF JOIN): each non-purchase event gets the user's most
+    recent purchase at-or-before its timestamp, nulled beyond a
+    24-hour tolerance. The engine side is the scalable union-and-carry
+    form — one window per user, no pair explosion; the right side is
+    pre-deduped per (user, ts) with max_by for deterministic ties."""
+    from py_schemax_spark.operators.joins import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("purchase_id"),
+            F.max_by("value", "event_id").alias("purchase_value"),
+        )
+    )
+    lefts = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return asof_join(
+        lefts, purchases, on="ts", by="user_id",
+        right_cols=["purchase_id", "purchase_value"],
+        tolerance="24 HOURS",
+    ).select(
+        "event_id", "user_id", "ts", "event_type",
+        "purchase_id", "purchase_value",
+    )
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment by hash bucket
+    (first 4 md5 hex chars of key+salt) — reproducible across runs,
+    engines, partition counts, and row order; a pure projection. The
+    oracle recomputes the same buckets and cuts in three lines of
+    SQL."""
+    from py_schemax_spark.operators.sampling import hash_split
+
+    d = _docs(spark, sf_dir)
+    return hash_split(
+        d, "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        salt="r3",
+    ).select("doc_id", "split")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling (corpus rebalancing):
+    keep 50% of 'en', 100% of 'de', 25% of everything else — a pure
+    hash-bucket filter, each row's fate independent of every other
+    row's."""
+    from py_schemax_spark.operators.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir)
+    return stratified_sample(
+        d, "doc_id", {"en": 0.5, "de": 1.0}, strata_col="lang",
+        salt="s", default_fraction=0.25,
+    ).select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats": q_stats,
@@ -1092,6 +1153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": q_repetition_profile,
         "pii_scan": q_pii_scan,
         "dedup_clusters": q_dedup_clusters,
+        "asof_purchase": q_asof_purchase,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1586,6 +1650,54 @@ FROM agg a JOIN top USING (doc_id)
         "FROM r"
     )
 
+    # asof_purchase: DuckDB's native ASOF JOIN is the oracle for the
+    # engine's union-and-carry implementation; the tolerance re-null
+    # is a CASE on the matched timestamp (ASOF picks the nearest —
+    # tolerance can only reject it, identical to the engine)
+    asof_sql = """
+WITH p AS (
+  SELECT user_id, ts, max(event_id) AS purchase_id,
+         arg_max(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+l AS (SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type != 'purchase'),
+j AS (
+  SELECT l.event_id, l.user_id, l.ts, l.event_type, p.ts AS pts,
+         p.purchase_id, p.purchase_value
+  FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
+)
+SELECT event_id, user_id, ts, event_type,
+       CASE WHEN pts >= ts - INTERVAL 24 HOUR THEN purchase_id END
+         AS purchase_id,
+       CASE WHEN pts >= ts - INTERVAL 24 HOUR THEN purchase_value END
+         AS purchase_value
+FROM j
+"""
+
+    # hash_split / stratified_sample: same md5-prefix buckets, same
+    # cuts — 0.9 → int(0.9*65536) = 58982 = e666, 0.95 → f333,
+    # 0.5 → 8000, 0.25 → 4000, 1.0 → 'g' (sorts after all hex)
+    hash_split_sql = """
+SELECT doc_id,
+       CASE WHEN b < 'e666' THEN 'train'
+            WHEN b < 'f333' THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'r3'), 1, 4) AS b
+      FROM documents)
+"""
+
+    stratified_sample_sql = """
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang,
+             substr(md5(CAST(doc_id AS VARCHAR) || 's'), 1, 4) AS b
+      FROM documents)
+WHERE (lang = 'en' AND b < '8000')
+   OR (lang = 'de' AND b < 'g')
+   OR (lang NOT IN ('en', 'de') AND b < '4000')
+"""
+
     # containment contract: the Spark query returns exact-dup pairs
     # MISSING from the LSH candidates — correct iff EMPTY, so the
     # oracle is the empty relation with the same schema
@@ -1724,4 +1836,7 @@ FROM documents
         "repetition_profile": repetition_sql,
         "pii_scan": pii_sql,
         "dedup_clusters": dedup_clusters_sql,
+        "asof_purchase": asof_sql,
+        "hash_split": hash_split_sql,
+        "stratified_sample": stratified_sample_sql,
     }

@@ -1,0 +1,95 @@
+"""Deterministic corpus splitting and sampling for training pipelines.
+
+Train/val/test assignment and per-stratum downsampling must be (a)
+reproducible across runs and engines, (b) stable under repartitioning
+and row order, (c) a pure projection — no shuffle, no global state.
+``rand(seed)`` fails (a)-(b): it is seeded per-partition, so the same
+row can land in different splits after a repartition.
+
+The split key here is the first 4 hex chars of ``md5(key || salt)``
+— a uniform 16-bit bucket in '0000'..'ffff' that every engine
+computes identically (fixed-width lowercase hex compares
+lexicographically = numerically, so split boundaries are plain string
+comparisons and the DuckDB oracle is the same three-line expression).
+Granularity 1/65536 per weight; change ``salt`` to draw a fresh
+independent assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 4)
+
+
+def _threshold(frac: float) -> str:
+    """4-hex-char cut for ``bucket < threshold``. Fraction 1.0 must
+    admit bucket 'ffff' too — 'g' sorts after every hex char, so it is
+    the all-pass cut (a 5-char '10000' would compare LESS than 'ffff'
+    lexicographically)."""
+    f = min(max(frac, 0.0), 1.0)
+    return "g" if f >= 1.0 else format(int(f * 65536), "04x")
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label with probability proportional to
+    ``weights`` (normalized), deterministically in ``key_col`` — the
+    same key lands in the same split in every run, engine, partition
+    count, and row order. Pure projection: rides the scan, no shuffle.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive number")
+    b = _bucket(F.col(key_col), salt)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        branch = b < F.lit(_threshold(cum))
+        expr = (
+            F.when(branch, F.lit(name))
+            if expr is None
+            else expr.when(branch, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    strata_col: str,
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its hash
+    bucket falls under its stratum's fraction threshold (strata absent
+    from ``fractions`` use ``default_fraction``). The workhorse of
+    corpus rebalancing — e.g. cap boilerplate-heavy domains at 10%
+    while keeping 100% of rare languages — as a pure filter: no
+    shuffle, no per-stratum pass, stable under resampling of any other
+    stratum (each row's fate depends only on its own key + salt)."""
+    b = _bucket(F.col(key_col), salt)
+    cond = None
+    for stratum, frac in fractions.items():
+        branch = (F.col(strata_col) == stratum) & (b < F.lit(_threshold(frac)))
+        cond = branch if cond is None else cond | branch
+    others = ~F.col(strata_col).isin(list(fractions)) & (
+        b < F.lit(_threshold(default_fraction))
+    )
+    cond = others if cond is None else cond | others
+    return df.filter(cond)

@@ -440,3 +440,127 @@ def test_typed_timestamp_timezone_session_assertion(spark):
     assert errs[0]["type"] == "timezone_mismatch"
     assert errs[0]["error_at"] == "$.ts.timezone"
     assert "America/New_York" in errs[0]["message"]
+
+
+# --- as-of join / deterministic sampling (training-pipeline extensions) -----
+
+
+def test_asof_join_backward_semantics(spark):
+    """Exact-tie matches (>= semantics), no-prior-row nulls, tolerance
+    re-nulls, and null-right-value vs no-match distinction."""
+    from py_schemax_spark.operators.joins import asof_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 20, "b"), ("u1", 25, "c"),
+         ("u2", 5, "d"), ("u3", 30, "e")],
+        ["by", "t", "tag"],
+    ).select("by", F.col("t").cast("timestamp").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [("u1", 10, 100, None), ("u1", 22, 200, 2.5), ("u2", 9, 300, 3.0)],
+        "by string, t long, rid long, rv double",
+    ).select("by", F.col("t").cast("timestamp").alias("ts"), "rid", "rv")
+
+    out = {
+        (r["by"], r["tag"]): (r["rid"], r["rv"])
+        for r in asof_join(left, right, on="ts", by="by",
+                           right_cols=["rid", "rv"]).collect()
+    }
+    assert out[("u1", "a")] == (100, None)   # exact tie matches; rv null ≠ no match
+    assert out[("u1", "b")] == (100, None)   # 22 is in the future
+    assert out[("u1", "c")] == (200, 2.5)    # latest prior wins
+    assert out[("u2", "d")] == (None, None)  # right row is after left
+    assert out[("u3", "e")] == (None, None)  # no right rows for group
+
+    tol = {
+        (r["by"], r["tag"]): r["rid"]
+        for r in asof_join(left, right, on="ts", by="by",
+                           right_cols=["rid", "rv"],
+                           tolerance="5 SECONDS").collect()
+    }
+    assert tol[("u1", "a")] == 100           # gap 0 ≤ 5s
+    assert tol[("u1", "b")] is None          # gap 10s > 5s → re-nulled
+    assert tol[("u1", "c")] == 200           # gap 3s ≤ 5s
+
+
+def test_asof_join_forward_direction(spark):
+    from py_schemax_spark.operators.joins import asof_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 23, "b")], ["by", "t", "tag"]
+    ).select("by", F.col("t").cast("timestamp").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [("u1", 12, 1), ("u1", 22, 2)], ["by", "t", "rid"]
+    ).select("by", F.col("t").cast("timestamp").alias("ts"), "rid")
+    out = {
+        r["tag"]: r["rid"]
+        for r in asof_join(left, right, on="ts", by="by",
+                           right_cols=["rid"],
+                           direction="forward").collect()
+    }
+    assert out == {"a": 1, "b": None}  # earliest following; none after 23
+
+
+def test_hash_split_partition_properties(spark):
+    """Splits are disjoint+complete, deterministic, order/partition
+    invariant, approximately proportional, and salt-sensitive."""
+    from py_schemax_spark.operators.sampling import hash_split
+    from pyspark.sql import functions as F
+
+    df = spark.range(20000).withColumnRenamed("id", "k")
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = hash_split(df, "k", w, salt="x")
+    counts = {r["split"]: r["n"] for r in
+              a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 20000
+    assert abs(counts["train"] / 20000 - 0.9) < 0.01
+    assert abs(counts["val"] / 20000 - 0.05) < 0.005
+    assert abs(counts["test"] / 20000 - 0.05) < 0.005
+
+    b = hash_split(df.repartition(13).orderBy(F.rand(7)), "k", w, salt="x")
+    assert a.exceptAll(b).limit(1).count() == 0  # partition/order invariant
+
+    c = hash_split(df, "k", w, salt="y")
+    moved = a.join(c.withColumnRenamed("split", "s2"), "k").filter(
+        "split != s2"
+    ).count()
+    assert moved > 1000  # new salt = fresh independent assignment
+
+
+def test_hash_split_full_weight_edge(spark):
+    """weight 1.0 must admit every bucket including 'ffff' (the
+    threshold-encoding edge case)."""
+    from py_schemax_spark.operators.sampling import hash_split
+
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    out = hash_split(df, "k", {"all": 1.0, "none": 0.0}, salt="z")
+    assert out.filter("split != 'all'").count() == 0
+
+
+def test_stratified_sample_per_stratum(spark):
+    from py_schemax_spark.operators.sampling import stratified_sample
+    from pyspark.sql import functions as F
+
+    df = spark.range(30000).select(
+        F.col("id").alias("k"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    kept = stratified_sample(
+        df, "k", {"en": 0.5, "de": 1.0}, strata_col="lang",
+        salt="s", default_fraction=0.25,
+    )
+    n = {r["lang"]: r["n"] for r in
+         kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert n["de"] == 10000                      # fraction 1.0 keeps all
+    assert abs(n["en"] / 10000 - 0.5) < 0.02
+    assert abs(n["fr"] / 10000 - 0.25) < 0.02
+    # deterministic: same call keeps the identical row set
+    again = stratified_sample(
+        df, "k", {"en": 0.5, "de": 1.0}, strata_col="lang",
+        salt="s", default_fraction=0.25,
+    )
+    assert kept.exceptAll(again).limit(1).count() == 0

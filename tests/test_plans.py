@@ -210,3 +210,26 @@ def test_all_pairs_strategy_gate_never_full_counts(spark):
     out_probe = all_pairs_above_np(df, -1.1, max_broadcast_rows=10,
                                    n_blocks=3)
     assert out_probe.count() == 30 * 29 // 2
+
+
+def test_asof_join_single_shuffle_no_join_node(spark):
+    """The as-of join must compile to the union-and-carry shape: ONE
+    exchange (the window partitioning over `by`) and NO join operator
+    — a range-join formulation would explode to O(|L|·|R|) per key."""
+    from py_schemax_spark.operators.joins import asof_join
+
+    left = spark.range(1000).select(
+        (F.col("id") % 7).alias("by"),
+        F.col("id").cast("timestamp").alias("ts"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(100).select(
+        (F.col("id") % 7).alias("by"),
+        (F.col("id") * 10).cast("timestamp").alias("ts"),
+        F.col("id").alias("rv"),
+    )
+    plan = _plan(asof_join(left, right, on="ts", by="by",
+                           right_cols=["rv"]))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
