@@ -232,7 +232,8 @@ def main() -> None:
         "pricing_summary", "revenue_by_nation", "top_event_by_user",
         "token_counts", "fingerprint", "ann_pairs", "minhash_candidates",
         "simhash", "extraction", "datetime_conformance", "ngram_jaccard",
-        "passage_dedup", "quality_topk_per_lang",
+        "passage_dedup", "quality_topk_per_lang", "asof_purchase",
+        "dedup_clusters", "repetition_profile", "pii_scan",
     ]
     queries = entrymod.queries()
     from py_schemax_spark.operators.dedup import unpersist_intermediates

@@ -564,3 +564,58 @@ def test_stratified_sample_per_stratum(spark):
         salt="s", default_fraction=0.25,
     )
     assert kept.exceptAll(again).limit(1).count() == 0
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized semantic twin: asof_join must agree with
+    pandas.merge_asof (the de-facto reference semantics: backward /
+    forward, exact-tie matches, tolerance) on seeded random inputs
+    with duplicate-heavy keys."""
+    import numpy as np
+    import pandas as pd
+    from py_schemax_spark.operators.joins import asof_join
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(1234)
+    for trial in range(6):
+        direction = ["backward", "forward"][trial % 2]
+        tol = [None, "50 SECONDS", None][trial % 3]
+        n_l, n_r = 200, 80
+        lp = pd.DataFrame({
+            "lid": np.arange(n_l),
+            "by": rng.integers(0, 5, n_l),
+            "t": rng.integers(0, 3000, n_l),
+        })
+        rp = pd.DataFrame({
+            "by": rng.integers(0, 6, n_r),  # group 5 has no left rows
+            "t": rng.integers(0, 3000, n_r),
+            "rid": np.arange(n_r),
+        }).drop_duplicates(["by", "t"], keep="last")
+
+        lp["ts"] = pd.to_datetime(lp["t"], unit="s")
+        rp["ts"] = pd.to_datetime(rp["t"], unit="s")
+        expected = pd.merge_asof(
+            lp.sort_values("ts", kind="stable"),
+            rp[["by", "ts", "rid"]].sort_values("ts", kind="stable"),
+            on="ts", by="by", direction=direction,
+            tolerance=pd.Timedelta(seconds=50) if tol else None,
+        )
+        exp = {
+            int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+            for r in expected.itertuples()
+        }
+
+        lsdf = spark.createDataFrame(lp[["lid", "by", "t"]]).select(
+            "lid", "by", F.timestamp_seconds("t").alias("ts")
+        )
+        rsdf = spark.createDataFrame(rp[["by", "t", "rid"]]).select(
+            "by", F.timestamp_seconds("t").alias("ts"), "rid"
+        )
+        got = {
+            r["lid"]: r["rid"]
+            for r in asof_join(
+                lsdf, rsdf, on="ts", by="by", right_cols=["rid"],
+                direction=direction, tolerance=tol,
+            ).collect()
+        }
+        assert got == exp, f"trial={trial} direction={direction} tol={tol}"
