@@ -184,36 +184,37 @@ def repetition_profile(
     ``top_token_n`` flag boilerplate and degenerate generations — the
     standard repetition filters in web-corpus curation.
 
-    Shape at scale: explode → two-level hash aggregation (word-count
-    shape, map-side partial agg) → per-doc agg; the tie-break join
-    reuses the ``(key, tok)`` aggregation output on both sides, so the
-    second exchange is over per-doc rows, not tokens. Docs with no
-    tokens (empty/whitespace text) emit no row.
+    Shape at scale: explode → (key, tok) hash aggregation (word-count
+    shape, map-side partial agg; exchange on (key, tok)) → per-key
+    window (exchange on key) → filter-to-ties + final per-key agg,
+    which REUSES the window's key partitioning — two exchanges total,
+    no join. Docs with no tokens (empty/whitespace text) emit no row.
     """
+    from pyspark.sql import Window
+
     k = F.col(key_col)
     toks = df.select(k, F.explode(tokens(F.col(text_col))).alias("tok"))
     tc = toks.groupBy(key_col, "tok").agg(F.count(F.lit(1)).alias("c"))
-    agg = tc.groupBy(key_col).agg(
-        F.sum("c").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.max("c").alias("top_token_n"),
+    w = Window.partitionBy(key_col)
+    enriched = tc.select(
+        key_col, "tok", "c",
+        F.sum("c").over(w).alias("n_tokens"),
+        F.count(F.lit(1)).over(w).alias("n_distinct"),
+        F.max("c").over(w).alias("top_token_n"),
     )
-    top = (
-        tc.join(agg.select(key_col, "top_token_n"), key_col)
-        .filter(F.col("c") == F.col("top_token_n"))
+    return (
+        enriched.filter(F.col("c") == F.col("top_token_n"))
         .groupBy(key_col)
-        .agg(F.min("tok").alias("top_token"))
-    )
-    return agg.join(top, key_col).select(
-        k,
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.col("n_distinct").cast("long").alias("n_distinct"),
-        F.floor(
-            (F.col("n_tokens") - F.col("n_distinct")) * 10000
-            / F.col("n_tokens")
-        ).cast("long").alias("dup_token_bp"),
-        F.col("top_token_n").cast("long").alias("top_token_n"),
-        "top_token",
+        .agg(
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+            F.max("n_distinct").cast("long").alias("n_distinct"),
+            F.floor(
+                (F.max("n_tokens") - F.max("n_distinct")) * 10000
+                / F.max("n_tokens")
+            ).cast("long").alias("dup_token_bp"),
+            F.max("top_token_n").cast("long").alias("top_token_n"),
+            F.min("tok").alias("top_token"),
+        )
     )
 
 

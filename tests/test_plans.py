@@ -233,3 +233,36 @@ def test_asof_join_single_shuffle_no_join_node(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pii_scan_pure_projection_no_exchange_no_python(spark):
+    """PII counting/redaction must stay a codegen'd JVM projection —
+    no shuffle, no Python/Arrow UDF evaluation node."""
+    from py_schemax_spark.operators.pii import pii_scan
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+    )
+    plan = _plan(pii_scan(df))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "*(1)" in plan  # whole-stage-codegen stage marker
+
+
+def test_repetition_profile_two_exchanges_no_join(spark):
+    """explode → (key,tok) agg → per-key window → final agg must reuse
+    the window's key partitioning: exactly two exchanges, no join.
+    (The source is round-robin-repartitioned first — a Range source's
+    RangePartitioning satisfies the per-key distributions outright and
+    Catalyst correctly elides EVERY shuffle, hiding the shape under
+    test.)"""
+    from py_schemax_spark.operators.textstats import repetition_profile
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("a b c a "), F.col("id").cast("string")).alias("text"),
+    ).repartition(5)
+    plan = _plan(repetition_profile(df))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan
