@@ -1684,18 +1684,20 @@ SELECT doc_id,
             WHEN b < 'f333' THEN 'val'
             ELSE 'test' END AS split
 FROM (SELECT doc_id,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'r3'), 1, 4) AS b
+             substr(md5(coalesce(CAST(doc_id AS VARCHAR), chr(1)) || 'r3'),
+                    1, 4) AS b
       FROM documents)
 """
 
     stratified_sample_sql = """
 SELECT doc_id, lang
 FROM (SELECT doc_id, lang,
-             substr(md5(CAST(doc_id AS VARCHAR) || 's'), 1, 4) AS b
+             substr(md5(coalesce(CAST(doc_id AS VARCHAR), chr(1)) || 's'),
+                    1, 4) AS b
       FROM documents)
 WHERE (lang = 'en' AND b < '8000')
    OR (lang = 'de' AND b < 'g')
-   OR (lang NOT IN ('en', 'de') AND b < '4000')
+   OR ((lang IS NULL OR lang NOT IN ('en', 'de')) AND b < '4000')
 """
 
     # containment contract: the Spark query returns exact-dup pairs

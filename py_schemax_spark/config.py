@@ -95,6 +95,11 @@ def _explicit_config_layer(paths: tuple[str, ...]) -> dict[str, Any]:
             # user error, not a skippable layer (reference raises
             # click.BadParameter on a bad explicit config)
             raise ValueError(f"config file {path!r} is not valid TOML: {e}")
+        except OSError as e:
+            # unreadable (permissions, special file, I/O error): surface
+            # a clean CLI error, not a traceback — the CLI catches
+            # ValueError and exits 2
+            raise ValueError(f"config file {path!r} could not be read: {e}")
         section = doc.get("validate") or (
             doc.get("tool", {}).get("schemax_spark", {}).get("validate", {})
         )

@@ -360,19 +360,22 @@ def minhash_lsh_candidates(
     # a 10^12-doc bucket table spills instead of OOMing.
     from pyspark import StorageLevel
 
-    wb = Window.partitionBy("band", "bucket")
-    buckets = buckets.withColumn("_n", F.count(F.lit(1)).over(wb)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
     if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "bucket")
+        buckets = buckets.withColumn(
+            "_n", F.count(F.lit(1)).over(wb)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         if log_dropped:
             _log_dropped_buckets(
                 buckets, ["band", "bucket"], max_bucket_size, "minhash-lsh"
             )
-        joinable = buckets.filter(F.col("_n") <= max_bucket_size)
+        joinable = buckets.filter(F.col("_n") <= max_bucket_size).drop("_n")
     else:
+        # cap disabled: skip the population window entirely — the
+        # annotation would otherwise cost a per-partition sort + window
+        # pass just to drop the column again
+        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
         joinable = buckets
-    joinable = joinable.drop("_n")
     left = joinable.alias("l")
     right = joinable.alias("r")
     return _track_persisted(
@@ -420,7 +423,13 @@ def ngram_jaccard_pairs(
     from pyspark import StorageLevel
 
     src = df.filter(F.col(text_col).isNotNull())
+    tracked = []
     if prune_to_candidates:
+        # candidates appears three times in the DAG (key_a keys, key_b
+        # keys, final join) — persist it so an expensive upstream plan
+        # (typically the LSH bucket self-join) runs once, not thrice
+        candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
+        tracked.append(candidates)
         keys = (
             candidates.select(F.col("key_a").alias("_ck"))
             .union(candidates.select(F.col("key_b").alias("_ck")))
@@ -457,7 +466,7 @@ def ngram_jaccard_pairs(
             F.round(inter / union, 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold),
-        [sh],
+        [sh, *tracked],
     )
 
 
@@ -685,19 +694,21 @@ def simhash_near_duplicates(
             )
         ).alias("c"),
     ).select("k", "fpl", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
-    wb = Window.partitionBy("chunk", "val")
-    chunks = chunks.withColumn("_n", F.count(F.lit(1)).over(wb)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
     if max_bucket_size is not None:
+        wb = Window.partitionBy("chunk", "val")
+        chunks = chunks.withColumn(
+            "_n", F.count(F.lit(1)).over(wb)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         if log_dropped:
             _log_dropped_buckets(
                 chunks, ["chunk", "val"], max_bucket_size, "simhash"
             )
-        joinable = chunks.filter(F.col("_n") <= max_bucket_size)
+        joinable = chunks.filter(F.col("_n") <= max_bucket_size).drop("_n")
     else:
+        # cap disabled: no population window (same rationale as
+        # minhash_lsh_candidates)
+        chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
         joinable = chunks
-    joinable = joinable.drop("_n")
     l, r = joinable.alias("l"), joinable.alias("r")
     hamming = F.bit_count(F.col("l.fpl").bitwiseXOR(F.col("r.fpl")))
     return _track_persisted(

@@ -53,14 +53,29 @@ def asof_join(
 
     ``direction``: ``backward`` (match ≤, the default) or ``forward``
     (match ≥) — forward is the same carry run in reverse sort order.
+
+    Null keys (``pandas.merge_asof`` raises on them; we stay total
+    over dirty event data instead): a right row with a null ``on`` can
+    never be "the most recent prior" — it is dropped up front
+    (otherwise Spark's nulls-first ascending sort would carry it into
+    every left row with no genuine match). A left row with a null
+    ``on`` gets no match. Null ``by`` values form their own group and
+    match each other, like any join key.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction!r}")
     rcols = right_cols or [c for c in right.columns if c not in (on, by)]
+    clash = sorted(set(rcols) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"right_cols {clash} already exist on the left side — rename "
+            "or pre-select to avoid silently clobbering left columns"
+        )
 
     lt = left.withColumn("_side", F.lit(1))
     rt = (
-        right.select(by, on, *rcols)
+        right.filter(F.col(on).isNotNull())
+        .select(by, on, *rcols)
         .withColumn("_side", F.lit(0))
         .withColumn(
             "_r",
@@ -78,7 +93,12 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = F.last("_r", ignorenulls=True).over(w)
+    # null-on left rows never match (guarded here because the window
+    # sort would otherwise hand them a carried row: nulls sort first
+    # ascending / last descending)
+    carried = F.when(
+        F.col(on).isNotNull(), F.last("_r", ignorenulls=True).over(w)
+    )
 
     out = u.withColumn("_m", carried).filter(F.col("_side") == 1)
     if tolerance is not None:

@@ -22,7 +22,22 @@ from pyspark.sql import functions as F
 
 
 def _bucket(key: Column, salt: str) -> Column:
-    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 4)
+    # A null key hashes as the NUL-byte sentinel (Spark's concat is
+    # null-propagating, so without this every null-key row would get a
+    # null bucket, fail every `<` comparison, and silently fall through
+    # to the LAST split — a fully-correlated leak into one split). With
+    # the sentinel, null keys behave like one ordinary key value: they
+    # land together, in a salt-dependent split. DuckDB oracle twin:
+    # coalesce(cast(k AS VARCHAR), chr(1)).
+    return F.substring(
+        F.md5(
+            F.concat(
+                F.coalesce(key.cast("string"), F.lit("\x01")), F.lit(salt)
+            )
+        ),
+        1,
+        4,
+    )
 
 
 def _threshold(frac: float) -> str:
@@ -88,8 +103,12 @@ def stratified_sample(
     for stratum, frac in fractions.items():
         branch = (F.col(strata_col) == stratum) & (b < F.lit(_threshold(frac)))
         cond = branch if cond is None else cond | branch
-    others = ~F.col(strata_col).isin(list(fractions)) & (
-        b < F.lit(_threshold(default_fraction))
-    )
+    # NULL strata take default_fraction too: a bare ~isin(...) is NULL
+    # (not TRUE) for a null stratum under three-valued logic, which
+    # would silently drop every null-stratum row regardless of
+    # default_fraction.
+    others = (
+        F.col(strata_col).isNull() | ~F.col(strata_col).isin(list(fractions))
+    ) & (b < F.lit(_threshold(default_fraction)))
     cond = others if cond is None else cond | others
     return df.filter(cond)

@@ -441,6 +441,7 @@ def all_pairs_above_np(
     answer "bigger than the broadcast ceiling?" — at 100 TB that is a
     ~max_broadcast_rows-row scan, not a full count of the input.
     """
+    _require_integral_id(df, id_col, "all_pairs_above_np")
     if approx_rows is not None:
         too_big = approx_rows > max_broadcast_rows
     else:
@@ -621,11 +622,30 @@ def all_pairs_above_blocked(
     return pairs.groupBy("_pi", "_pj").applyInPandas(crunch, out_schema)
 
 
+def _require_integral_id(df: DataFrame, id_col: str, api: str) -> None:
+    """Both all-pairs strategies are numpy-int paths (the broadcast
+    matrix carries ids as int64; the blocked path's output schema is
+    ``key_a/key_b bigint``). A string id would fail deep inside an
+    Arrow batch with an opaque cast error — reject it at the API
+    boundary with the fix spelled out instead."""
+    import pyspark.sql.types as T
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"{api} requires an integral id column; '{id_col}' is "
+            f"{dt.simpleString()}. Derive one first, e.g. "
+            f".withColumn('vid', F.xxhash64('{id_col}')) or a "
+            "monotonically_increasing_id(), and join names back after."
+        )
+
+
 def similarity_pairs_above(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold — compatibility shim over
     ``all_pairs_above_np`` (same contract, sim ROUNDED to 4 as this
@@ -634,6 +654,13 @@ def similarity_pairs_above(
     the API a user would grab by accident and get O(n²) interpreted
     evaluation; its expression form survives only as the semantic twin
     in tests/test_dedup_similarity.py. Note the threshold is applied
-    to the RAW sim (the strategy paths' contract), then rounded."""
-    out = all_pairs_above_np(df, threshold, id_col=id_col, vec_col=vec_col)
+    to the RAW sim (the strategy paths' contract), then rounded.
+
+    Calling this runs a bounded strategy-probe job unless
+    ``approx_rows`` is given (see ``all_pairs_above_np``); ids must be
+    integral (clear TypeError otherwise — the old cartesian form
+    accepted any orderable key, the numpy paths do not)."""
+    out = all_pairs_above_np(
+        df, threshold, id_col=id_col, vec_col=vec_col, approx_rows=approx_rows
+    )
     return out.select("key_a", "key_b", F.round("sim", 4).alias("sim"))

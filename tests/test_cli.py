@@ -365,3 +365,25 @@ def test_unknown_check_name_exits_2(spark, table_dir, spec_file, capsys):
     )
     assert code == 2
     assert "unknown check class" in capsys.readouterr().err
+
+
+def test_config_file_unreadable_surfaces_clean_error(tmp_path, monkeypatch):
+    """A --config file that exists but cannot be READ (permissions,
+    special file, I/O error) must surface the clean ValueError path,
+    not a PermissionError traceback (review-pass regression)."""
+    import builtins
+
+    import pytest as _pytest
+
+    target = tmp_path / "locked.toml"
+    target.write_text("[validate]\noutput_format = 'json'\n")
+    real_open = builtins.open
+
+    def deny(path, *a, **kw):
+        if str(path) == str(target):
+            raise PermissionError(13, "Permission denied", str(path))
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", deny)
+    with _pytest.raises(ValueError, match="could not be read"):
+        resolve_config({}, config_files=(str(target),))
