@@ -1099,6 +1099,24 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination: per document, how many of its token
+    8-grams occur in the benchmark set (docs with doc_id % 97 == 0 —
+    a stand-in eval set drawn from the same corpus, so the planted
+    exact-duplicate docs light up as contaminated alongside the
+    benchmark members themselves). Arrow-side n-gram hashing (no token
+    shuffle), broadcast join on the benchmark's distinct hashes, one
+    groupBy(doc_id) exchange. Oracle recomputes the identical md5
+    n-gram universe in SQL."""
+    from py_schemax_spark.operators.decontam import contamination_report
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return contamination_report(
+        d, bench, text_col="text", key_col="doc_id", n=8
+    ).select("doc_id", "n_total", "n_overlap", "contaminated")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats": q_stats,
@@ -1156,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase": q_asof_purchase,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "decontam": q_decontam,
     }
 
 
@@ -1700,6 +1719,41 @@ WHERE (lang = 'en' AND b < '8000')
    OR ((lang IS NULL OR lang NOT IN ('en', 'de')) AND b < '4000')
 """
 
+    # decontamination: the SAME token/n-gram/md5 universe as the
+    # engine's Arrow UDF (lowercase, \s+ split, drop empties, md5 of
+    # the space-joined 8-gram), built in SQL. range(1, len-6) yields
+    # i = 1..len-7, i.e. len-7 8-grams (list_slice is 1-based
+    # inclusive); greatest(..., 1) empties the range for short docs.
+    decontam_sql = r"""
+WITH doks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+dng AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+  FROM doks, UNNEST(range(1, greatest(len(toks) - 6, 1))) AS t(i)
+),
+bh AS (SELECT DISTINCT h FROM dng WHERE doc_id % 97 = 0),
+base AS (
+  SELECT doc_id, coalesce(greatest(len(toks) - 7, 0), 0) AS n_total
+  FROM doks
+),
+ov AS (
+  SELECT doc_id, count(*) AS n_overlap
+  FROM dng
+  WHERE h IN (SELECT h FROM bh)
+  GROUP BY doc_id
+)
+SELECT base.doc_id,
+       n_total,
+       coalesce(n_overlap, 0) AS n_overlap,
+       coalesce(n_overlap, 0) > 0 AS contaminated
+FROM base LEFT JOIN ov USING (doc_id)
+"""
+
     # containment contract: the Spark query returns exact-dup pairs
     # MISSING from the LSH candidates — correct iff EMPTY, so the
     # oracle is the empty relation with the same schema
@@ -1841,4 +1895,5 @@ FROM documents
         "asof_purchase": asof_sql,
         "hash_split": hash_split_sql,
         "stratified_sample": stratified_sample_sql,
+        "decontam": decontam_sql,
     }

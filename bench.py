@@ -233,7 +233,7 @@ def main() -> None:
         "token_counts", "fingerprint", "ann_pairs", "minhash_candidates",
         "simhash", "extraction", "datetime_conformance", "ngram_jaccard",
         "passage_dedup", "quality_topk_per_lang", "asof_purchase",
-        "dedup_clusters", "repetition_profile", "pii_scan",
+        "dedup_clusters", "repetition_profile", "pii_scan", "decontam",
     ]
     queries = entrymod.queries()
     from py_schemax_spark.operators.dedup import unpersist_intermediates

@@ -751,3 +751,89 @@ def test_lsh_uncapped_path_skips_population_window(spark, pages):
         finally:
             unpersist_intermediates(capped)
             unpersist_intermediates(uncapped)
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+
+def test_contamination_report_planted_overlap(spark):
+    """A doc sharing one 8-gram with the benchmark is contaminated
+    with n_overlap counting occurrences; unrelated and short docs are
+    clean; matching is case-insensitive / whitespace-normalized."""
+    from py_schemax_spark.operators.decontam import contamination_report
+
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    docs = spark.createDataFrame(
+        [
+            # contains bench 8-gram "alpha ... hotel" once (tokens 1-8)
+            (1, "zz Alpha  bravo charlie delta echo foxtrot golf hotel qq"),
+            (2, "totally unrelated words that never overlap anything here"),
+            (3, "too short"),          # < 8 tokens: n_total = 0
+            (4, None),                 # null text: n_total = 0
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    out = {
+        r["doc_id"]: (r["n_total"], r["n_overlap"], r["contaminated"])
+        for r in contamination_report(docs, bench, n=8).collect()
+    }
+    assert out[1] == (3, 1, True)      # 10 tokens → 3 8-grams, 1 hits
+    assert out[2] == (1, 0, False)  # 8 tokens -> one 8-gram
+    assert out[3] == (0, 0, False)
+    assert out[4] == (0, 0, False)
+
+
+def test_contamination_matches_python_reference(spark):
+    """Randomized sweep vs a pure-Python n-gram overlap computation."""
+    import random
+
+    from py_schemax_spark.operators.decontam import (
+        _ngram_hashes,
+        contamination_report,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(0, 25))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench_rows = [t for i, t in rows if i % 7 == 0]
+    bench = spark.createDataFrame([(t,) for t in bench_rows], "text string")
+
+    n = 5
+    bench_set = {h for t in bench_rows for h in _ngram_hashes(t, n)}
+    expect = {}
+    for i, t in rows:
+        hs = _ngram_hashes(t, n)
+        ov = sum(1 for h in hs if h in bench_set)
+        expect[i] = (len(hs), ov, ov > 0)
+    got = {
+        r["doc_id"]: (r["n_total"], r["n_overlap"], r["contaminated"])
+        for r in contamination_report(docs, bench, n=n).collect()
+    }
+    assert got == expect
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    """The benchmark side must broadcast (no shuffle of the exploded
+    corpus hashes for the join) and the only exchange is the final
+    groupBy(doc_id)."""
+    from py_schemax_spark.operators.decontam import contamination_report
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(10)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("a b c d e f g h",)], "text string")
+    plan = (
+        contamination_report(docs, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # exactly two shuffles: the benchmark side's tiny distinct and the
+    # final groupBy(doc_id) — the exploded corpus hashes never shuffle
+    # for the join itself
+    assert plan.count("Exchange hashpartitioning") == 2
