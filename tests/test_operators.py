@@ -837,3 +837,20 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     # final groupBy(doc_id) — the exploded corpus hashes never shuffle
     # for the join itself
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_read_table_uri_gates(spark, tmp_path):
+    """iceberg: URIs fail with a clear gate error when no catalog is
+    configured; stream: URIs direct the caller to readStream; plain
+    paths read parquet."""
+    import pytest as _pytest
+
+    from py_schemax_spark.sources.readers import read_table
+
+    p = str(tmp_path / "t")
+    spark.range(3).write.parquet(p)
+    assert read_table(spark, p).count() == 3
+    with _pytest.raises(RuntimeError, match="Iceberg.*not configured"):
+        read_table(spark, "iceberg:db.pages")
+    with _pytest.raises(ValueError, match="readStream"):
+        read_table(spark, "stream:/x")
