@@ -1117,6 +1117,24 @@ def q_decontam(spark, sf_dir):
     ).select("doc_id", "n_total", "n_overlap", "contaminated")
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style boilerplate line removal. The synthetic corpus is
+    single-line, so lines are synthesized deterministically (space →
+    newline, identically on both sides): every token becomes a line,
+    and tokens occurring in ≥ 50 distinct docs are 'boilerplate'. The
+    cleaned text (rare tokens only, order kept), line count, and
+    removed count are hash-compared against a DuckDB rebuild of the
+    exact same contract."""
+    from py_schemax_spark.operators.lines import remove_boilerplate
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text", F.translate("text", " ", "\n")
+    )
+    return remove_boilerplate(
+        d, text_col="text", key_col="doc_id", min_docs=50
+    ).select("doc_id", "clean_text", "n_lines", "n_removed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats": q_stats,
@@ -1175,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "decontam": q_decontam,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -1754,6 +1773,47 @@ SELECT base.doc_id,
 FROM base LEFT JOIN ov USING (doc_id)
 """
 
+    # line dedup: identical contract rebuilt in SQL — lines are
+    # split(chr(10)), a line is boilerplate iff trimmed-non-empty and
+    # present in >= 50 distinct docs, clean_text rejoins survivors in
+    # order ('' when all removed, NULL for null text)
+    line_dedup_sql = """
+WITH src AS (
+  SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM documents
+),
+base AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM src
+),
+ln AS (
+  SELECT doc_id, i AS pos, lines[i] AS line
+  FROM base, UNNEST(range(1, len(lines) + 1)) AS t(i)
+),
+hot AS (
+  SELECT line FROM ln WHERE trim(line) <> ''
+  GROUP BY line HAVING count(DISTINCT doc_id) >= 50
+),
+lh AS (
+  SELECT ln.doc_id, ln.pos, ln.line, hot.line IS NOT NULL AS is_hot
+  FROM ln LEFT JOIN hot USING (line)
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_lines,
+         sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS n_removed,
+         coalesce(
+           string_agg(line, chr(10) ORDER BY pos)
+             FILTER (WHERE NOT is_hot),
+           '') AS clean_text
+  FROM lh GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CASE WHEN b.text IS NULL THEN NULL
+            ELSE coalesce(a.clean_text, '') END AS clean_text,
+       CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
     # containment contract: the Spark query returns exact-dup pairs
     # MISSING from the LSH candidates — correct iff EMPTY, so the
     # oracle is the empty relation with the same schema
@@ -1896,4 +1956,5 @@ FROM documents
         "hash_split": hash_split_sql,
         "stratified_sample": stratified_sample_sql,
         "decontam": decontam_sql,
+        "line_dedup": line_dedup_sql,
     }

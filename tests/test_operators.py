@@ -854,3 +854,75 @@ def test_read_table_uri_gates(spark, tmp_path):
         read_table(spark, "iceberg:db.pages")
     with _pytest.raises(ValueError, match="readStream"):
         read_table(spark, "stream:/x")
+
+
+# --- boilerplate line removal (CCNet-style line dedup) -----------------------
+
+
+def test_remove_boilerplate_exact(spark):
+    from py_schemax_spark.operators.lines import (
+        boilerplate_lines,
+        remove_boilerplate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner\nunique alpha\nfooter"),
+            (2, "cookie banner\nunique bravo\nfooter"),
+            (3, "cookie banner\n\nunique charlie"),
+            (4, "cookie banner\nfooter"),          # all lines boilerplate
+            (5, ""),                                # one empty line, kept
+            (6, None),                              # null text stays null
+        ],
+        "doc_id long, text string",
+    )
+    hot = {
+        r["line"]: r["n_docs"]
+        for r in boilerplate_lines(docs, min_docs=3).collect()
+    }
+    assert hot == {"cookie banner": 4, "footer": 3}
+
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in remove_boilerplate(docs, min_docs=3).collect()
+    }
+    assert out[1] == ("unique alpha", 3, 2)
+    assert out[2] == ("unique bravo", 3, 2)
+    assert out[3] == ("\nunique charlie", 3, 1)  # empty line survives
+    assert out[4] == ("", 2, 2)                  # fully boilerplate → ''
+    assert out[5] == ("", 1, 0)                  # '' splits to one empty line
+    assert out[6] == (None, 0, 0)
+
+
+def test_remove_boilerplate_shuffle_fallback_identical(spark):
+    """Forcing the hot set past the broadcast gate (plain shuffle tag
+    join) must not change a single output row."""
+    from py_schemax_spark.operators.lines import remove_boilerplate
+
+    docs = spark.createDataFrame(
+        [(i, f"shared line\nuniq {i}\nshared line") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = remove_boilerplate(docs, min_docs=5).orderBy("doc_id").collect()
+    b = (
+        remove_boilerplate(docs, min_docs=5, max_broadcast_lines=0)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b
+    assert a[3]["clean_text"] == "uniq 3"
+    assert a[3]["n_removed"] == 2  # duplicate line inside one doc: both removed
+
+
+def test_remove_boilerplate_plan_broadcasts_hot_set(spark):
+    from py_schemax_spark.operators.lines import remove_boilerplate
+
+    docs = spark.createDataFrame(
+        [(i, f"shared\nuniq {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = (
+        remove_boilerplate(docs, min_docs=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
