@@ -1135,6 +1135,38 @@ def q_line_dedup(spark, sf_dir):
     ).select("doc_id", "clean_text", "n_lines", "n_removed")
 
 
+def q_sessionize(spark, sf_dir):
+    """30-minute-gap sessionization of the events stream: one hash
+    exchange (the groupBy reuses the window's partitioning), exact
+    integer-microsecond gap comparison, (ts, event_id) tie-break —
+    all reproduced verbatim by the DuckDB window oracle."""
+    from py_schemax_spark.operators.sessions import sessionize
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(
+        e, user_col="user_id", ts_col="ts", id_col="event_id",
+        gap_seconds=1800, value_col="value",
+    ).select(
+        "user_id", "session_idx", "session_start", "session_end",
+        "n_events", "total_value",
+    )
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram log-probability quality score with a top-50
+    vocabulary cutoff (OOV smoothing to count 1) — the KenLM-filter
+    stand-in. One token shuffle for the counts, driver-bounded top-k
+    collect, in-row Arrow scoring (no second shuffle). The oracle
+    recomputes counts, the same deterministic top-k (count desc, token
+    asc), and the same smoothed mean in SQL."""
+    from py_schemax_spark.operators.textstats import unigram_logprob_scores
+
+    d = _docs(spark, sf_dir)
+    return unigram_logprob_scores(
+        d, text_col="text", key_col="doc_id", top_k=50
+    ).select("doc_id", "n_tokens", "logprob")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats": q_stats,
@@ -1194,6 +1226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "decontam": q_decontam,
         "line_dedup": q_line_dedup,
+        "sessionize": q_sessionize,
+        "unigram_logprob": q_unigram_logprob,
     }
 
 
@@ -1814,6 +1848,64 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN agg a USING (doc_id)
 """
 
+    # sessionization: identical window recipe — exact µs gaps,
+    # (ts, event_id) tie-break, cumulative-sum session index
+    sessionize_sql = """
+WITH e AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE ts IS NOT NULL
+),
+m AS (
+  SELECT *,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM m
+)
+SELECT user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM s GROUP BY user_id, session_idx
+"""
+
+    # unigram logprob: same token universe (lowercase, \\s+ split,
+    # empties dropped), same top-50 vocabulary (count desc, token asc),
+    # same OOV-to-1 smoothing, same mean-minus-ln(total) and rounding
+    unigram_logprob_sql = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT sum(cnt) AS total FROM vocab),
+top AS (SELECT tok, cnt FROM vocab ORDER BY cnt DESC, tok ASC LIMIT 50),
+scored AS (
+  SELECT toks.doc_id, avg(ln(coalesce(top.cnt, 1))) AS mean_ln
+  FROM toks LEFT JOIN top USING (tok)
+  GROUP BY toks.doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS INT) AS n_tokens,
+       round(s.mean_ln - ln((SELECT total FROM tot)), 4) AS logprob
+FROM base b LEFT JOIN scored s USING (doc_id)
+"""
+
     # containment contract: the Spark query returns exact-dup pairs
     # MISSING from the LSH candidates — correct iff EMPTY, so the
     # oracle is the empty relation with the same schema
@@ -1957,4 +2049,6 @@ FROM documents
         "stratified_sample": stratified_sample_sql,
         "decontam": decontam_sql,
         "line_dedup": line_dedup_sql,
+        "sessionize": sessionize_sql,
+        "unigram_logprob": unigram_logprob_sql,
     }

@@ -8,6 +8,7 @@ adding them to a validation scan is marginal-cost.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -234,4 +235,92 @@ def text_profile(
         quality_score(c).alias("quality"),
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fp"),
+    )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    top_k: int = 50_000,
+) -> DataFrame:
+    """Corpus-level unigram log-probability quality score — a cheap,
+    dependency-free stand-in for the KenLM-perplexity filter of
+    CCNet-style pipelines: documents whose tokens are improbable under
+    the corpus's own unigram distribution (gibberish, boilerplate code,
+    wrong-language spill) score low.
+
+    Two phases, the 100-TB shape:
+
+    1. ONE token-granular shuffle builds the corpus unigram counts
+       (map-side combine collapses within-partition duplicates); the
+       driver collects only the TOP-``top_k`` vocabulary (bounded,
+       deterministic tie-break: count desc, token asc) plus the total
+       token count.
+    2. Scoring runs IN-ROW in an Arrow UDF over the broadcast
+       vocabulary dict — no second shuffle, no join back to a
+       token-exploded corpus.
+
+    Per-document score = mean over its tokens of
+    ``ln(count(token)) - ln(total)`` with out-of-vocabulary tokens
+    smoothed to count 1; null for token-less documents. Tokens are
+    lowercased whitespace tokens (the ``decontam`` normalization).
+    Returns ``(key_col, n_tokens, logprob)`` with ``logprob`` rounded
+    to 4 decimals (SQL-reproducible: same counts, same ln, same
+    rounding).
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    # materialize the token array BEFORE the HOF filter: a lambda over
+    # a computed split() child re-evaluates the child per element
+    # (SURVEY §7 — quadratic in tokens/doc); over an attribute
+    # reference it is a single linear pass
+    vocab = (
+        df.select(F.split(F.lower(F.col(text_col)), r"\s+").alias("_t"))
+        .select(
+            F.explode(
+                F.filter(F.col("_t"), lambda t: t != "")
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark import StorageLevel
+
+    vocab = vocab.persist(StorageLevel.MEMORY_AND_DISK)
+    total = vocab.agg(F.sum("cnt")).collect()[0][0] or 0
+    top = vocab.orderBy(F.desc("cnt"), F.asc("tok")).limit(top_k).collect()
+    vocab.unpersist()
+    counts = {r["tok"]: r["cnt"] for r in top}
+    ln_total = math.log(total) if total else 0.0
+
+    @pandas_udf(T.DoubleType())
+    def score(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        ws = _re.compile(r"\s+")
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = [w for w in ws.split(t.lower()) if w]
+            if not toks:
+                out.append(None)
+                continue
+            s = sum(math.log(counts.get(w, 1)) for w in toks)
+            out.append(s / len(toks) - ln_total)
+        return pd.Series(out, dtype="float64")
+
+    return df.select(
+        F.col(key_col),
+        # codegen'd regexp arithmetic — lowercasing can't change the
+        # whitespace-token count; null text → null (SQL twin: len of a
+        # null token list)
+        token_count(F.col(text_col)).alias("n_tokens"),
+        F.round(score(F.col(text_col)), 4).alias("logprob"),
     )

@@ -926,3 +926,103 @@ def test_remove_boilerplate_plan_broadcasts_hot_set(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# --- sessionization + unigram quality score ---------------------------------
+
+
+def test_sessionize_gap_semantics(spark):
+    from py_schemax_spark.operators.sessions import sessionize
+    from pyspark.sql import functions as F
+
+    # user 1: events at 0s, 100s, 2000s (gap>1800 → new session), 2100s
+    # user 2: one event; plus a null-ts event that must be excluded
+    rows = [
+        (1, 1, 0.0, 10.0), (2, 1, 100.0, 5.0),
+        (3, 1, 2000.0, 1.0), (4, 1, 2100.0, 2.0),
+        (5, 2, 50.0, 7.0), (6, 2, None, 99.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, t double, value double"
+    ).select(
+        "event_id", "user_id",
+        F.col("t").cast("timestamp").alias("ts"), "value",
+    )
+    out = {
+        (r["user_id"], r["session_idx"]): (
+            r["n_events"], r["total_value"],
+            r["session_start"].timestamp(), r["session_end"].timestamp(),
+        )
+        for r in sessionize(df, value_col="value").collect()
+    }
+    assert out[(1, 1)] == (2, 15.0, 0.0, 100.0)
+    assert out[(1, 2)] == (2, 3.0, 2000.0, 2100.0)
+    assert out[(2, 1)] == (1, 7.0, 50.0, 50.0)
+    assert len(out) == 3  # null-ts event contributed nothing
+
+    # boundary: a gap of exactly gap_seconds does NOT split
+    b = spark.createDataFrame(
+        [(1, 1, 0.0), (2, 1, 1800.0), (3, 1, 3601.0)],
+        "event_id long, user_id long, t double",
+    ).select("event_id", "user_id", F.col("t").cast("timestamp").alias("ts"))
+    got = {r["session_idx"]: r["n_events"]
+           for r in sessionize(b).collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_sessionize_single_exchange(spark):
+    """Window partitionBy(user) and groupBy(user, session_idx) must
+    share one hash exchange — HashPartitioning(user) satisfies the
+    grouped distribution."""
+    from py_schemax_spark.operators.sessions import sessionize
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(1000)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 7).alias("user_id"),
+            F.timestamp_seconds(F.col("id") * 100).alias("ts"),
+        )
+        .repartition(8)  # destroy any helpful input partitioning
+    )
+    plan = (
+        sessionize(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_unigram_logprob_scores(spark):
+    import math
+
+    from py_schemax_spark.operators.textstats import unigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the cat"),
+            (2, "the dog"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    # corpus counts: the=4, cat=1, dog=1, total=6
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["logprob"])
+        for r in unigram_logprob_scores(docs, top_k=100).collect()
+    }
+    t = math.log(6)
+    exp1 = round((3 * math.log(4) + math.log(1)) / 4 - t, 4)
+    exp2 = round((math.log(4) + math.log(1)) / 2 - t, 4)
+    assert out[1] == (4, exp1)
+    assert out[2] == (2, exp2)
+    assert out[3] == (0, None)
+    assert out[4][1] is None
+
+    # top_k cutoff: with top_k=1 only 'the' is in-vocab; others smooth
+    # to count 1 (same value here since cat/dog counts ARE 1)
+    cut = {
+        r["doc_id"]: r["logprob"]
+        for r in unigram_logprob_scores(docs, top_k=1).collect()
+    }
+    assert cut[1] == exp1
