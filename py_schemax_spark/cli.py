@@ -86,6 +86,16 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--column-required-attributes", default=None)
     c.set_defaults(fail_mode=None, output_level=None)
 
+    d = sub.add_parser(
+        "diff",
+        help="compare two spec versions; exit 1 if any change is "
+             "breaking for conforming data",
+    )
+    d.add_argument("old_spec", help="previous spec file")
+    d.add_argument("new_spec", help="candidate spec file")
+    d.add_argument("--json", dest="use_json", action="store_true",
+                   help="JSON-lines output")
+
     v = sub.add_parser("validate", help="validate table(s) against a spec")
     v.add_argument("tables", nargs="*", help="parquet table paths (or stdin)")
     v.add_argument("--spec", required=True, help="constraint spec file")
@@ -224,10 +234,46 @@ def check_specs_main(ns) -> int:
     return 1 if any_invalid else 0
 
 
+def diff_main(ns) -> int:
+    """``diff OLD NEW``: spec evolution report. Exit 0 when every
+    change is compatible, 1 when any is breaking, 2 when either file
+    fails to load — the same exit vocabulary as validate."""
+    import json as _json
+
+    from py_schemax_spark.specs.diff import spec_diff
+
+    specs = []
+    for path in (ns.old_spec, ns.new_spec):
+        res = load_spec(path)
+        if not res.valid:
+            for e in res.errors:
+                print(
+                    f"❌ {path}: {e.error_at}: {e.message}", file=sys.stderr
+                )
+            return 2
+        specs.append(res.spec)
+    changes = spec_diff(specs[0], specs[1])
+    breaking = [c for c in changes if c["breaking"]]
+    if ns.use_json:
+        for c in changes:
+            print(_json.dumps(c))
+    else:
+        for c in changes:
+            mark = "❌" if c["breaking"] else "✅"
+            print(f"{mark} {c['error_at']}: {c['type']}: {c['message']}")
+        print(
+            f"{len(changes)} changes, {len(breaking)} breaking "
+            f"({specs[0].version or '?'} -> {specs[1].version or '?'})"
+        )
+    return 1 if breaking else 0
+
+
 def main(argv: Optional[list[str]] = None, spark=None) -> int:
     ns = build_parser().parse_args(argv)
     if ns.command == "check-specs":
         return check_specs_main(ns)
+    if ns.command == "diff":
+        return diff_main(ns)
     try:
         cfg = resolve_config(
             {

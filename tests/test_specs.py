@@ -194,3 +194,97 @@ def test_references_and_drift_parsed():
     assert res.spec.columns[1].drift.on == "length"
     assert res.spec.columns[1].drift.psi_threshold == 0.3
     assert res.spec.columns[1].drift.ks_threshold == 0.1  # default
+
+
+# --- spec evolution diff -----------------------------------------------------
+
+
+def _ts(cols, version=None):
+    res = validate_spec_dict(
+        {"fqn": "t", "version": version, "columns": cols}
+    )
+    assert res.valid, res.errors
+    return res.spec
+
+
+def test_spec_diff_classifies_breaking_vs_compatible():
+    from py_schemax_spark.specs.diff import spec_diff
+
+    old = _ts(
+        [
+            {"name": "url", "type": "string", "min_length": 5,
+             "max_length": 100, "nullable": False},
+            {"name": "lang", "type": "string"},
+            {"name": "score", "type": "integer", "minimum": 0},
+            {"name": "gone", "type": "string"},
+        ],
+        version="1",
+    )
+    new = _ts(
+        [
+            # tightened min_length (breaking), loosened max (ok)
+            {"name": "url", "type": "string", "min_length": 10,
+             "max_length": 200, "nullable": False},
+            # tightened: now non-nullable + unique
+            {"name": "lang", "type": "string", "nullable": False,
+             "unique": True},
+            # loosened minimum, type changed (breaking)
+            {"name": "score", "type": "float", "minimum": -5},
+            # added nullable (ok) / added non-nullable (breaking)
+            {"name": "extra_ok", "type": "string"},
+            {"name": "extra_req", "type": "string", "nullable": False},
+        ],
+        version="2",
+    )
+    changes = spec_diff(old, new)
+    by_at = {}
+    for c in changes:
+        by_at.setdefault(c["error_at"], []).append(c)
+
+    assert by_at["$.url.min_length"][0]["breaking"] is True
+    assert by_at["$.url.max_length"][0]["breaking"] is False
+    assert by_at["$.lang.nullable"][0]["breaking"] is True
+    assert by_at["$.lang.unique"][0]["breaking"] is True
+    assert by_at["$.score.type"][0]["type"] == "type_changed"
+    assert by_at["$.score.minimum"][0]["breaking"] is False
+    assert by_at["$.extra_ok"][0]["breaking"] is False
+    assert by_at["$.extra_req"][0]["breaking"] is True
+    assert by_at["$.gone"][0]["type"] == "column_removed"
+    assert by_at["$.gone"][0]["breaking"] is True
+    # breaking changes sort first
+    flags = [c["breaking"] for c in changes]
+    assert flags == sorted(flags, reverse=True)
+
+
+def test_spec_diff_identical_specs_empty():
+    from py_schemax_spark.specs.diff import spec_diff
+
+    s = _ts([{"name": "a", "type": "string", "pattern": "^x"}])
+    assert spec_diff(s, s) == []
+
+
+def test_cli_diff_subcommand(tmp_path, capsys):
+    from py_schemax_spark.cli import main
+
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps({
+        "fqn": "t", "version": "1",
+        "columns": [{"name": "url", "type": "string"}],
+    }))
+    new.write_text(json.dumps({
+        "fqn": "t", "version": "2",
+        "columns": [{"name": "url", "type": "string", "nullable": False}],
+    }))
+    code = main(["diff", str(old), str(new)])
+    out = capsys.readouterr().out
+    assert code == 1
+    assert "❌ $.url.nullable" in out
+    assert "1 breaking" in out
+
+    code = main(["diff", str(old), str(old)])
+    assert code == 0
+    assert "0 breaking" in capsys.readouterr().out
+
+    code = main(["diff", str(old), str(tmp_path / "missing.json")])
+    assert code == 2
