@@ -237,7 +237,10 @@ def main() -> None:
         "line_dedup", "sessionize", "unigram_logprob",
     ]
     queries = entrymod.queries()
-    from py_schemax_spark.operators.dedup import unpersist_intermediates
+    from py_schemax_spark.operators.dedup import (
+        release_all_intermediates,
+        unpersist_intermediates,
+    )
     from pyspark.sql import functions as F
 
     def _force(df: DataFrame) -> None:
@@ -259,8 +262,12 @@ def main() -> None:
             _force(df)
             best = min(best, time.perf_counter() - t0)
             # release operator-persisted intermediates between trials
-            # (minhash buckets / shingle tables would pile up in cache)
+            # (minhash buckets / shingle tables would pile up in cache).
+            # The per-df attribute is stripped by the entry wrappers'
+            # .select(), so ALSO drain the module registry — that is
+            # what actually catches the caches here.
             unpersist_intermediates(df)
+            release_all_intermediates()
         qtimes[name] = round(best, 3)
     out["queries"] = qtimes
     out["value"] = round(val["sec"] + sum(qtimes.values()), 3)

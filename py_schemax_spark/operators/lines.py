@@ -125,8 +125,11 @@ def remove_boilerplate(
     base = df.select(
         F.col(key_col), F.col(text_col).isNotNull().alias("_has_text")
     )
+    # eqNullSafe: a plain equality would never match a null key, so a
+    # null-key document's text would silently come back as '' — null
+    # keys group under one null key like any other value instead
     out = base.join(
-        cleaned, base[key_col] == cleaned["_k"], "left"
+        cleaned, base[key_col].eqNullSafe(cleaned["_k"]), "left"
     )
     result = out.select(
         F.col(key_col),

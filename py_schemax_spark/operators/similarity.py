@@ -539,6 +539,7 @@ def all_pairs_above_blocked(
     pair is emitted exactly once as ``(key_a, key_b, sim)`` with
     key_a < key_b — byte-identical contract to the broadcast path.
     """
+    _require_integral_id(df, id_col, "all_pairs_above_blocked")
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T

@@ -298,11 +298,19 @@ def unigram_logprob_scores(
     counts = {r["tok"]: r["cnt"] for r in top}
     ln_total = math.log(total) if total else 0.0
 
+    # ship the vocabulary once per executor, not once per task: a
+    # 50k-entry dict in the raw closure re-serializes with every task
+    bc_counts = df.sparkSession.sparkContext.broadcast(counts)
+
     @pandas_udf(T.DoubleType())
     def score(texts: pd.Series) -> pd.Series:
         import re as _re
 
-        ws = _re.compile(r"\s+")
+        # re.ASCII: match the Java-regex \s+ token universe the
+        # vocabulary phase used (Python \s alone is Unicode-wide and
+        # would tokenize U+00A0 etc. differently than the counts)
+        ws = _re.compile(r"\s+", _re.ASCII)
+        cnts = bc_counts.value
         out = []
         for t in texts:
             if t is None:
@@ -312,7 +320,7 @@ def unigram_logprob_scores(
             if not toks:
                 out.append(None)
                 continue
-            s = sum(math.log(counts.get(w, 1)) for w in toks)
+            s = sum(math.log(cnts.get(w, 1)) for w in toks)
             out.append(s / len(toks) - ln_total)
         return pd.Series(out, dtype="float64")
 

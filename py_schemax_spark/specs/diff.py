@@ -185,5 +185,33 @@ def spec_diff(old: TableSpec, new: TableSpec) -> list[dict]:
         nc = new_cols.get(name)
         if nc is not None:
             changes.extend(_col_changes(oc, nc))
+    if old.extraction != new.extraction:
+        # adding (or retargeting) the per-row byte-identical extraction
+        # invariant can fail rows that conformed before; dropping it
+        # only loosens
+        tightened = new.extraction is not None
+        changes.append(
+            {
+                "type": (
+                    "constraint_tightened" if tightened
+                    else "constraint_loosened"
+                ),
+                "error_at": "$.extraction",
+                "message": f"extraction {old.extraction} -> {new.extraction}",
+                "breaking": tightened,
+            }
+        )
+    if old.key != new.key:
+        changes.append(
+            {
+                "type": "check_changed",
+                "error_at": "$.key",
+                "message": (
+                    f"violation attribution key {old.key!r} -> {new.key!r} "
+                    "(changes violation-row identity, not row validity)"
+                ),
+                "breaking": False,
+            }
+        )
     changes.sort(key=lambda ch: (not ch["breaking"],))
     return changes

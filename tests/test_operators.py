@@ -1026,3 +1026,101 @@ def test_unigram_logprob_scores(spark):
         for r in unigram_logprob_scores(docs, top_k=1).collect()
     }
     assert cut[1] == exp1
+
+
+# --- second review-pass regressions ------------------------------------------
+
+
+def test_ascii_tokenizer_consistency(spark):
+    """Unicode whitespace (U+00A0) must NOT split tokens: the Python
+    tokenizers (decontam, unigram scoring) use re.ASCII to match the
+    Java-regex \\s+ used for counting and the RE2 \\s+ in the oracles."""
+    from py_schemax_spark.operators.decontam import _ngram_hashes
+    from py_schemax_spark.operators.textstats import unigram_logprob_scores
+
+    text = "foo bar baz"
+    # one ASCII space → exactly 2 tokens → one 2-gram
+    assert len(_ngram_hashes(text, 2)) == 1
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = unigram_logprob_scores(docs, top_k=10).collect()[0]
+    # java \S+ count and the scoring tokenizer agree: 2 tokens, both
+    # in-vocab with count 1 → logprob = ln(1) - ln(2)
+    import math
+
+    assert row["n_tokens"] == 2
+    assert row["logprob"] == round(-math.log(2), 4)
+
+
+def test_remove_boilerplate_null_key_keeps_text(spark):
+    from py_schemax_spark.operators.lines import remove_boilerplate
+
+    docs = spark.createDataFrame(
+        [(None, "unique content\nmore text"), (1, "other stuff")],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"])
+        for r in remove_boilerplate(docs, min_docs=5).collect()
+    }
+    assert out[None] == ("unique content\nmore text", 2)
+    assert out["1"] == ("other stuff", 1)
+
+
+def test_blocked_all_pairs_rejects_non_integral_ids(spark):
+    import pytest as _pytest
+
+    from py_schemax_spark.operators.similarity import all_pairs_above_blocked
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    with _pytest.raises(TypeError, match="integral id column"):
+        all_pairs_above_blocked(df, 0.5)
+
+
+def test_registry_release_survives_select_stripping(spark, pages):
+    """Entry wrappers .select() their results, which drops the
+    _schemax_persisted attribute — release_all_intermediates() must
+    still drain the caches via the module registry."""
+    from py_schemax_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        release_all_intermediates,
+    )
+
+    release_all_intermediates()  # clean slate
+    pages.count()  # materialize the fixture's own .cache() first
+    jsc = spark.sparkContext._jsc.sc()
+    baseline = jsc.getPersistentRDDs().size()  # unrelated session caches
+    cands = minhash_lsh_candidates(pages.limit(40), key_col="url")
+    out = ngram_jaccard_pairs(
+        pages.limit(40), cands.select("key_a", "key_b"), key_col="url"
+    ).select("key_a", "key_b")  # strips the attribute, like the driver
+    out.count()
+    assert not hasattr(out, "_schemax_persisted")
+    assert release_all_intermediates() > 0
+    assert jsc.getPersistentRDDs().size() == baseline
+
+
+def test_spec_diff_extraction_and_key_changes():
+    from py_schemax_spark.specs.diff import spec_diff
+    from py_schemax_spark.specs.loader import validate_spec_dict
+
+    base = {
+        "fqn": "t",
+        "columns": [
+            {"name": "html", "type": "binary"},
+            {"name": "text", "type": "string"},
+        ],
+    }
+    with_ex = dict(
+        base, extraction={"source": "html", "target": "text"}, key="text"
+    )
+    old = validate_spec_dict(base).spec
+    new = validate_spec_dict(with_ex).spec
+    changes = {c["error_at"]: c for c in spec_diff(old, new)}
+    assert changes["$.extraction"]["breaking"] is True
+    assert changes["$.key"]["breaking"] is False
+    back = {c["error_at"]: c for c in spec_diff(new, old)}
+    assert back["$.extraction"]["breaking"] is False
