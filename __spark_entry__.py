@@ -1167,6 +1167,31 @@ def q_unigram_logprob(spark, sf_dir):
     ).select("doc_id", "n_tokens", "logprob")
 
 
+def q_url_features(spark, sf_dir):
+    """URL structure profile (scheme/host/path-depth/params/tld) as
+    pure codegen'd regexp expressions that fuse into the scan
+    projection. The corpus URL shape is uniform, so half the rows get
+    a deterministic query-string suffix (same expression in the
+    oracle) to exercise the parameter counter."""
+    from py_schemax_spark.functions.urls import url_features
+
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/doc/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("?page="), (F.col("doc_id") % 3).cast("string"),
+                F.lit("&ref=rss"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return url_features(
+        d.withColumn("url", url), url_col="url", key_col="doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats": q_stats,
@@ -1228,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "sessionize": q_sessionize,
         "unigram_logprob": q_unigram_logprob,
+        "url_features": q_url_features,
     }
 
 
@@ -1906,6 +1932,38 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN scored s USING (doc_id)
 """
 
+    # url features: identical lookaround-free patterns (Java regex ↔
+    # RE2), identical deterministic query-string suffix
+    url_features_sql = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.org/doc/'
+           || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 2 = 0
+                   THEN '?page=' || CAST(doc_id % 3 AS VARCHAR) || '&ref=rss'
+                   ELSE '' END AS url
+  FROM documents
+),
+h AS (
+  SELECT doc_id, url,
+         lower(regexp_replace(
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+           ':\d+$', '')) AS host
+  FROM u
+)
+SELECT doc_id,
+       lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1))
+         AS scheme,
+       host,
+       CAST(len(regexp_extract_all(
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+         '/[^/]+')) AS INT) AS path_depth,
+       CAST(len(regexp_extract_all(
+         regexp_extract(url, '\?([^#]*)', 1), '[^&]+')) AS INT) AS n_params,
+       regexp_extract(host, '\.([A-Za-z0-9-]+)$', 1) AS tld
+FROM h
+"""
+
     # containment contract: the Spark query returns exact-dup pairs
     # MISSING from the LSH candidates — correct iff EMPTY, so the
     # oracle is the empty relation with the same schema
@@ -2051,4 +2109,5 @@ FROM documents
         "line_dedup": line_dedup_sql,
         "sessionize": sessionize_sql,
         "unigram_logprob": unigram_logprob_sql,
+        "url_features": url_features_sql,
     }

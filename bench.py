@@ -234,7 +234,7 @@ def main() -> None:
         "simhash", "extraction", "datetime_conformance", "ngram_jaccard",
         "passage_dedup", "quality_topk_per_lang", "asof_purchase",
         "dedup_clusters", "repetition_profile", "pii_scan", "decontam",
-        "line_dedup", "sessionize", "unigram_logprob",
+        "line_dedup", "sessionize", "unigram_logprob", "url_features",
     ]
     queries = entrymod.queries()
     from py_schemax_spark.operators.dedup import (

@@ -1124,3 +1124,27 @@ def test_spec_diff_extraction_and_key_changes():
     assert changes["$.key"]["breaking"] is False
     back = {c["error_at"]: c for c in spec_diff(new, old)}
     assert back["$.extraction"]["breaking"] is False
+
+
+def test_url_features_exact(spark):
+    from py_schemax_spark.functions.urls import url_features
+
+    rows = [
+        (1, "https://www.Example.org:8080/a/b/c?x=1&y=2&z#frag"),
+        (2, "http://example.co.uk/"),
+        (3, "ftp://files.example.net/pub/file.txt"),
+        (4, "not a url at all"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r["doc_id"]: (
+            r["scheme"], r["host"], r["path_depth"], r["n_params"], r["tld"]
+        )
+        for r in url_features(df, key_col="doc_id").collect()
+    }
+    assert out[1] == ("https", "www.example.org", 3, 3, "org")
+    assert out[2] == ("http", "example.co.uk", 0, 0, "uk")
+    assert out[3] == ("ftp", "files.example.net", 2, 0, "net")
+    assert out[4] == ("", "", 0, 0, "")
+    assert out[5] == (None, None, None, None, None)
