@@ -434,14 +434,16 @@ nominally idle box:
 |---|---|---|---|---|
 | 1 | 5.513 s | 362,754 | 0.851 | 0.791 |
 | 2 | 14.842 s | 134,751 | 0.897 | 0.945 |
+| 3 | 16.713 s | 119,666 | 0.883 | 0.804 |
 
-Within-run trials swing up to ~2× (e.g. run 2 local[2] trials
-53.8-101.3 s; suite trials 14.8-24.5 s) — this host's allocator/
-page-cache state dominates single-trial wall time (see the round-2
-items below). The min-of-trials estimator keeps the RATIO stable:
-best-of efficiency is 0.85-0.90 across both runs (median 0.79-0.95),
-consistent with round 2's 0.896/0.866. Treat any single suite
-wall-time as ±2× and the scaling efficiency as the robust statistic.
+Within-run trials swing up to ~3× (e.g. run 2 local[2] trials
+53.8-101.3 s; run 3 suite trials 16.7-53.3 s) — this host's
+allocator/page-cache state dominates single-trial wall time (see the
+round-2 items below). The min-of-trials estimator keeps the RATIO
+stable: best-of efficiency is 0.85-0.90 across all three runs
+(median 0.79-0.95), consistent with round 2's 0.896/0.866. Treat any
+single suite wall-time as ±2-3× and the scaling efficiency as the
+robust statistic.
 
 ## Variance and cross-checks (round 2, measured 2026-08-17)
 
