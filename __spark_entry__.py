@@ -1947,8 +1947,10 @@ WITH u AS (
 h AS (
   SELECT doc_id, url,
          lower(regexp_replace(
-           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
-           ':\d+$', '')) AS host
+           regexp_replace(
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+             '^[^@]*@', ''),
+           ':\d+\z', '')) AS host
   FROM u
 )
 SELECT doc_id,
@@ -1959,8 +1961,9 @@ SELECT doc_id,
          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
          '/[^/]+')) AS INT) AS path_depth,
        CAST(len(regexp_extract_all(
-         regexp_extract(url, '\?([^#]*)', 1), '[^&]+')) AS INT) AS n_params,
-       regexp_extract(host, '\.([A-Za-z0-9-]+)$', 1) AS tld
+         regexp_extract(url, '^[^#?]*\?([^#]*)', 1), '[^&]+')) AS INT)
+         AS n_params,
+       regexp_extract(host, '\.([A-Za-z0-9-]+)\z', 1) AS tld
 FROM h
 """
 

@@ -7,7 +7,12 @@ all plain column expressions: they fuse into whatever scan projection
 the caller already runs — zero extra passes, zero Python.
 
 Every pattern is lookaround-free so Java regex (engine) and RE2
-(DuckDB oracle) agree byte-for-byte.
+(DuckDB oracle) agree byte-for-byte. Two portability details are
+deliberate: end-of-string anchors use ``\z`` (Java ``$`` matches
+before a trailing newline, RE2 ``$`` does not — ``\z`` means
+end-of-text in both), and the query matcher requires its ``?`` to
+precede any ``#`` so fragment-embedded question marks (SPA hash
+routes like ``/app#/x?y=1``) don't report phantom parameters.
 """
 
 from __future__ import annotations
@@ -22,9 +27,13 @@ def url_scheme(url: Column) -> Column:
 
 
 def url_host(url: Column) -> Column:
-    """Authority host, port stripped, lowercased ('' when absent)."""
-    host = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
-    return F.lower(F.regexp_replace(host, r":\d+$", ""))
+    """Authority host: userinfo ('user:pass@') and port stripped,
+    lowercased ('' when absent) — 'https://u:p@Ex.org:8080/x' →
+    'ex.org'. Stripping userinfo also keeps credentials out of
+    host-level groupBys."""
+    auth = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    host = F.regexp_replace(auth, r"^[^@]*@", "")
+    return F.lower(F.regexp_replace(host, r":\d+\z", ""))
 
 
 def url_path(url: Column) -> Column:
@@ -40,15 +49,16 @@ def url_path_depth(url: Column) -> Column:
 
 
 def url_query_param_count(url: Column) -> Column:
-    """Number of non-empty '&'-separated query parameters."""
-    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    """Number of non-empty '&'-separated query parameters (a '?'
+    inside the fragment is NOT a query)."""
+    q = F.regexp_extract(url, r"^[^#?]*\?([^#]*)", 1)
     return F.regexp_count(q, F.lit(r"[^&]+"))
 
 
 def url_tld(url: Column) -> Column:
     """Last dot-separated host label ('' for dotless/absent hosts).
     A heuristic, not the public-suffix list — 'co.uk' reports 'uk'."""
-    return F.regexp_extract(url_host(url), r"\.([A-Za-z0-9-]+)$", 1)
+    return F.regexp_extract(url_host(url), r"\.([A-Za-z0-9-]+)\z", 1)
 
 
 def url_features(

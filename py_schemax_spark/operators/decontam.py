@@ -42,11 +42,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
-# re.ASCII: Python's Unicode \s would split on U+00A0/U+2028 etc.
-# where the DuckDB oracle's RE2 \s (and Spark's Java \s elsewhere in
-# the engine) are ASCII-only — the token universe must be identical
-# on both sides
-_WS = re.compile(r"\s+", re.ASCII)
+# Explicit whitespace class = RE2's \s EXACTLY ([\t\n\f\r ]): Python
+# Unicode \s would also split on U+00A0/U+2028, and even re.ASCII \s
+# (like Java \s) additionally includes \x0B where RE2 does not — the
+# oracle's token universe is the canonical one, so spell it out.
+_WS = re.compile(r"[ \t\n\r\f]+")
 
 
 def _ngram_hashes(text: str | None, n: int) -> list[str]:

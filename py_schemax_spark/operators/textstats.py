@@ -275,12 +275,16 @@ def unigram_logprob_scores(
     from pyspark.sql import types as T
     from pyspark.sql.pandas.functions import pandas_udf
 
+    # Token delimiter: the EXPLICIT class [ \t\n\r\f]+ — identical in
+    # Java regex (here), Python (the scoring UDF), and RE2 (the SQL
+    # oracle). \s differs across the three on \x0B and Unicode spaces.
+    _ws_cls = r"[ \t\n\r\f]+"
     # materialize the token array BEFORE the HOF filter: a lambda over
     # a computed split() child re-evaluates the child per element
     # (SURVEY §7 — quadratic in tokens/doc); over an attribute
     # reference it is a single linear pass
     vocab = (
-        df.select(F.split(F.lower(F.col(text_col)), r"\s+").alias("_t"))
+        df.select(F.split(F.lower(F.col(text_col)), _ws_cls).alias("_t"))
         .select(
             F.explode(
                 F.filter(F.col("_t"), lambda t: t != "")
@@ -306,10 +310,9 @@ def unigram_logprob_scores(
     def score(texts: pd.Series) -> pd.Series:
         import re as _re
 
-        # re.ASCII: match the Java-regex \s+ token universe the
-        # vocabulary phase used (Python \s alone is Unicode-wide and
-        # would tokenize U+00A0 etc. differently than the counts)
-        ws = _re.compile(r"\s+", _re.ASCII)
+        # the same EXPLICIT whitespace class as the vocabulary phase
+        # and the SQL oracle (see _ws_cls above)
+        ws = _re.compile(r"[ \t\n\r\f]+")
         cnts = bc_counts.value
         out = []
         for t in texts:
@@ -324,11 +327,20 @@ def unigram_logprob_scores(
             out.append(s / len(toks) - ln_total)
         return pd.Series(out, dtype="float64")
 
-    return df.select(
+    result = df.select(
         F.col(key_col),
-        # codegen'd regexp arithmetic — lowercasing can't change the
-        # whitespace-token count; null text → null (SQL twin: len of a
-        # null token list)
-        token_count(F.col(text_col)).alias("n_tokens"),
+        # codegen'd regexp arithmetic over the SAME explicit class, so
+        # n_tokens counts exactly the tokens the score averaged; null
+        # text → null (SQL twin: len of a null token list)
+        F.regexp_count(
+            F.col(text_col), F.lit(r"[^ \t\n\r\f]+")
+        ).alias("n_tokens"),
         F.round(score(F.col(text_col)), 4).alias("logprob"),
     )
+    # register the broadcast for bulk release (Broadcast.unpersist has
+    # the same signature the registry calls on persisted DataFrames) —
+    # without this every call leaks a vocabulary-sized broadcast for
+    # the session lifetime
+    from py_schemax_spark.operators.dedup import _track_persisted
+
+    return _track_persisted(result, [bc_counts])
