@@ -1152,3 +1152,114 @@ def test_url_features_exact(spark):
     assert out[5] == (None, None, None, None, None)
     assert out[6] == ("https", "ex.org", 1, 0, "org")  # path=/app only
     assert out[7] == ("https", "ex.org", 1, 0, "org")
+
+
+# --- randomized semantic twins for the round-3 additions --------------------
+
+
+def test_sessionize_matches_python_reference(spark):
+    """Seeded random event streams vs a direct Python sessionizer."""
+    import random
+
+    from py_schemax_spark.operators.sessions import sessionize
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    for trial in range(4):
+        gap = rng.choice([60, 900, 1800])
+        rows = []
+        eid = 0
+        for u in range(rng.randint(1, 6)):
+            t = 0.0
+            for _ in range(rng.randint(0, 30)):
+                t += rng.choice([1, 30, gap, gap + 1, gap * 2])
+                rows.append((eid, u, t, round(rng.uniform(0, 10), 2)))
+                eid += 1
+        if not rows:
+            continue
+        # python reference: sort by (ts, event_id) per user, split on
+        # strict > gap, aggregate
+        exp = {}
+        byu = {}
+        for e, u, t, v in rows:
+            byu.setdefault(u, []).append((t, e, v))
+        for u, evs in byu.items():
+            evs.sort()
+            idx = 0
+            prev = None
+            for t, e, v in evs:
+                if prev is None or t - prev > gap:
+                    idx += 1
+                    exp[(u, idx)] = [t, t, 0, 0.0]
+                s = exp[(u, idx)]
+                s[1] = max(s[1], t)
+                s[2] += 1
+                s[3] = round(s[3] + v, 10)
+                prev = t
+        exp = {
+            k: (v[0], v[1], v[2], round(v[3], 2)) for k, v in exp.items()
+        }
+
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, t double, value double"
+        ).select(
+            "event_id", "user_id",
+            F.col("t").cast("timestamp").alias("ts"), "value",
+        )
+        got = {
+            (r["user_id"], r["session_idx"]): (
+                r["session_start"].timestamp(), r["session_end"].timestamp(),
+                r["n_events"], r["total_value"],
+            )
+            for r in sessionize(
+                df, gap_seconds=gap, value_col="value"
+            ).collect()
+        }
+        assert got == exp, f"trial={trial} gap={gap}"
+
+
+def test_remove_boilerplate_matches_python_reference(spark):
+    """Seeded random multi-line docs vs a direct Python line-dedup."""
+    import random
+
+    from py_schemax_spark.operators.lines import remove_boilerplate
+
+    rng = random.Random(23)
+    shared = [f"boiler {i}" for i in range(4)] + ["", "  "]
+    for trial in range(3):
+        min_docs = rng.randint(2, 4)
+        docs = []
+        for d in range(rng.randint(3, 12)):
+            lines = [
+                rng.choice(shared) if rng.random() < 0.5 else f"uniq {d}-{j}"
+                for j in range(rng.randint(0, 6))
+            ]
+            docs.append((d, "\n".join(lines) if lines or rng.random() < 0.5
+                         else None))
+        # python reference
+        from collections import defaultdict
+
+        seen = defaultdict(set)
+        for d, t in docs:
+            if t is None:
+                continue
+            for ln in t.split("\n"):
+                if ln.strip():
+                    seen[ln].add(d)
+        hot = {ln for ln, s in seen.items() if len(s) >= min_docs}
+        exp = {}
+        for d, t in docs:
+            if t is None:
+                exp[d] = (None, 0, 0)
+                continue
+            lines = t.split("\n")
+            kept = [ln for ln in lines if ln not in hot]
+            exp[d] = ("\n".join(kept), len(lines),
+                      len(lines) - len(kept))
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+            for r in remove_boilerplate(df, min_docs=min_docs).collect()
+        }
+        assert got == exp, f"trial={trial} min_docs={min_docs}"
