@@ -746,23 +746,27 @@ def connected_components(
     ordering (lexicographic for strings) — the conventional survivor
     key.
 
-    Algorithm: hash-min label propagation. Each round every node takes
-    the min of its own label and its neighbors' labels; labels are
-    monotone non-increasing and fix exactly at the component minimum
-    after ≤ diameter rounds. Each round is one shuffle join
-    (edges ⋈ labels) plus one hash aggregation — no driver-side graph,
-    no collect.
+    Algorithm: hash-min label propagation with per-round path
+    compression. Each round every node takes the min of its own label
+    and its neighbors' labels (one shuffle join edges ⋈ labels + one
+    hash aggregation), then labels are shortcut once through
+    themselves (``lbl := label(lbl)`` where known) — the pointer-
+    doubling step that turns O(diameter) rounds into O(log diameter):
+    after round k every node's label is the minimum within its
+    2^k-hop neighborhood. No driver-side graph, no collect.
 
     Scale shape: dedup graphs are unions of small dense clusters
-    (bounded by the LSH bucket caps upstream), so the diameter — hence
-    the round count — is tiny regardless of corpus size; ``max_iter``
-    is a safety bound for adversarial chains, and hitting it raises
-    rather than returning silently-unconverged labels. Convergence is
-    detected by an early-exit changed-row probe (a join on the
-    previous round's labels with ``limit(1)``) — labels only
-    decrease, so one unchanged round is a fixed point. For web-scale
-    graphs with genuinely long chains, swap in large-star/small-star
-    (Kiveris et al. 2014) — same DataFrame surface.
+    (bounded by the LSH bucket caps upstream), so the round count is
+    tiny regardless of corpus size; ``max_iter`` is a safety bound for
+    adversarial chains, and hitting it raises rather than returning
+    silently-unconverged labels. Convergence is detected for free: the
+    round's aggregation carries a ``_changed`` flag (new label < the
+    round-start label, computed as ``min_by`` inside the same
+    aggregation), so the early-exit probe is a filter+limit over the
+    already-checkpointed round output — no extra join job per round.
+    For web-scale graphs with genuinely long chains, swap in
+    large-star/small-star (Kiveris et al. 2014) — same DataFrame
+    surface.
 
     Lineage is truncated every round with ``localCheckpoint`` —
     persist alone caches the DATA but each round's logical plan would
@@ -780,28 +784,56 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Right-size the graph's partitioning to the GRAPH, not the corpus:
+    # verified-pair graphs are orders of magnitude smaller than the
+    # corpus that produced them, but inherit its shuffle width — every
+    # propagation round would then pay corpus-width task scheduling.
+    # The count is free (edges is persisted and needed by round 1).
+    n_edges = edges.count()
+    target = max(1, int(n_edges // 4_000_000) + (1 if n_edges % 4_000_000 else 0))
+    if target < edges.rdd.getNumPartitions():
+        resized = edges.repartition(target, "u").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        resized.count()
+        edges.unpersist()
+        edges = resized
     labels = (
         edges.select("u").distinct().withColumn("lbl", F.col("u"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        msgs = edges.join(
-            labels.withColumnRenamed("u", "v"), "v"
-        ).select("u", "lbl")
-        new = (
-            labels.union(msgs)
+        msgs = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .select("u", "lbl", F.lit(False).alias("own"))
+        )
+        stepped = (
+            labels.select("u", "lbl", F.lit(True).alias("own"))
+            .union(msgs)
             .groupBy("u")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(
+                F.min("lbl").alias("lbl"),
+                # the node's round-start label rides along in the same
+                # aggregation, so `changed` needs no join afterwards
+                F.min(F.when(F.col("own"), F.col("lbl"))).alias("_old"),
+            )
+        )
+        # path compression: shortcut each label through its own label
+        # (labels only decrease, so this can only tighten)
+        thru = stepped.select(
+            F.col("u").alias("lbl"), F.col("lbl").alias("_lbl2")
+        )
+        new = (
+            stepped.join(thru, "lbl", "left")
+            .select(
+                "u",
+                F.least("lbl", "_lbl2").alias("lbl"),
+                (F.least("lbl", "_lbl2") < F.col("_old")).alias("_changed"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("_changed")).limit(1).count()
+        labels = new.select("u", "lbl")
         if changed == 0:
             break
     else:
