@@ -1038,6 +1038,52 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(dup, pairs, key_col="row_id")
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Token-window chunking (training-sample prep): 16-token windows
+    with 4-token overlap over every document — full coverage, short
+    final chunk, whitespace-normalized chunk text. A pure
+    projection+generate plan (zero shuffles; plan-asserted in pytest).
+    The oracle rebuilds the identical windows with DuckDB list
+    functions over the same explicit-ASCII-whitespace tokens."""
+    from py_schemax_spark.operators.chunking import chunk_documents
+
+    d = _docs(spark, sf_dir)
+    return chunk_documents(
+        d, text_col="text", key_col="doc_id",
+        chunk_tokens=16, overlap_tokens=4,
+    )
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Concat-then-chunk sequence packing plan: global token offsets
+    (exclusive prefix sum in doc_id order) and the 256-token training
+    window each document starts in. The prefix sum runs the scalable
+    way — range exchange + partition-local window + a per-partition
+    offset broadcast (never one global window sort); the result is
+    partitioning-invariant, so the DuckDB single-window oracle
+    reproduces it exactly."""
+    from py_schemax_spark.operators.chunking import pack_chunks
+
+    d = _docs(spark, sf_dir)
+    return pack_chunks(
+        d, text_col="text", key_col="doc_id", budget_tokens=256
+    )
+
+
+def q_keywords(spark, sf_dir):
+    """Per-document keyword extraction — distributed tf-idf with NO
+    vocabulary cutoff (rare terms are the informative ones, so the
+    unigram operator's bounded-broadcast trick doesn't apply): tf agg,
+    df agg over the tf table, term join, per-doc top-5 window. The
+    ranking key is integer-exact (tf * (N div df), df, term) so rank
+    boundaries can't move by a ULP between engines; the textbook
+    ln-based tfidf rides along rounded to 4 decimals."""
+    from py_schemax_spark.operators.keywords import tfidf_topk_terms
+
+    d = _docs(spark, sf_dir)
+    return tfidf_topk_terms(d, text_col="text", key_col="doc_id", k=5)
+
+
 def q_asof_purchase(spark, sf_dir):
     """As-of join (Spark has no built-in; DuckDB oracles with its
     native ASOF JOIN): each non-purchase event gets the user's most
@@ -1252,6 +1298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "line_dedup": q_line_dedup,
         "sessionize": q_sessionize,
+        "chunk_documents": q_chunk_documents,
+        "pack_chunks": q_pack_chunks,
+        "keywords": q_keywords,
         "unigram_logprob": q_unigram_logprob,
         "url_features": q_url_features,
     }
@@ -1874,6 +1923,90 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN agg a USING (doc_id)
 """
 
+    # token-window chunking: identical windows rebuilt with DuckDB
+    # list functions — same explicit-whitespace tokens, same
+    # 1 + ceil((n - chunk)/stride) chunk count, same 1-based
+    # inclusive slices (chunk=16, stride=12)
+    chunk_documents_sql = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       CAST(least(16, n - i * 12) AS INT) AS n_tokens,
+       array_to_string(
+         list_slice(toks, i * 12 + 1, least(i * 12 + 16, n)), ' '
+       ) AS chunk_text
+FROM n, UNNEST(range(0,
+       CASE WHEN n <= 16 THEN 1
+            ELSE 1 + CAST(ceil((n - 16) / 12.0) AS BIGINT) END)) AS u(i)
+"""
+
+    # sequence packing: one SQL window reproduces the engine's
+    # two-level prefix sum (boundary-invariant by construction);
+    # token count = non-delimiter runs, null text -> 0
+    pack_chunks_sql = r"""
+WITH t AS (
+  SELECT doc_id,
+         coalesce(len(regexp_extract_all(text, '[^ \t\n\r\f]+')), 0)
+           AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_token
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(start_token AS BIGINT) AS start_token,
+       CAST(start_token // 256 AS BIGINT) AS bin_id,
+       CAST(start_token % 256 AS BIGINT) AS bin_offset
+FROM s
+"""
+
+    # keyword extraction: the identical tf/df/ranking pipeline in SQL
+    # — integer-exact rank key (tf * (N // df), df, term), textbook
+    # tfidf rounded to 4 decimals as a value column only
+    keywords_sql = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(lower(text), '[ \t\n\r\f]+'),
+           x -> x <> '')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * (nd.n // dfreq.df) AS score_exact,
+         round(tf.tf * ln(CAST(nd.n AS DOUBLE) / dfreq.df), 4) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_exact DESC, df ASC, term ASC)
+           AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score_exact AS BIGINT) AS score_exact, tfidf
+FROM ranked WHERE rank <= 5
+"""
+
     # sessionization: identical window recipe — exact µs gaps,
     # (ts, event_id) tie-break, cumulative-sum session index
     sessionize_sql = """
@@ -2111,6 +2244,9 @@ FROM documents
         "decontam": decontam_sql,
         "line_dedup": line_dedup_sql,
         "sessionize": sessionize_sql,
+        "chunk_documents": chunk_documents_sql,
+        "pack_chunks": pack_chunks_sql,
+        "keywords": keywords_sql,
         "unigram_logprob": unigram_logprob_sql,
         "url_features": url_features_sql,
     }
