@@ -33,6 +33,13 @@ def read_table(spark: SparkSession, uri: str) -> DataFrame:
         # streaming file source over a growing parquet directory; the
         # schema must be supplied by the caller via readStream options
         raise ValueError("use spark.readStream directly for stream: URIs")
+    if uri.startswith("warc:"):
+        # raw Common-Crawl WARC/WET files — distributed record split +
+        # codegen'd header/payload extraction (sources/warc.py); specs
+        # then validate url/warc_ts/payload like any other table
+        from py_schemax_spark.sources.warc import read_warc
+
+        return read_warc(spark, uri[len("warc:"):])
     return spark.read.parquet(uri)
 
 

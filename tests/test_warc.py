@@ -1,0 +1,98 @@
+"""WARC source round-trip, framing edge cases, and mis-frame
+detection."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from py_schemax_spark.sources.datagen import gen_pages
+from py_schemax_spark.sources.warc import read_warc, write_warc
+
+
+def _roundtrip(spark, df, tmp_path, name="w"):
+    p = str(tmp_path / name)
+    write_warc(df, p)
+    return read_warc(spark, p)
+
+
+def test_warc_roundtrip_byte_identical(spark, tmp_path):
+    # multibyte vocab (café/naïve) exercises byte-based Content-Length
+    pages = gen_pages(spark, 2000, clean=True).select(
+        "url", "warc_ts", "text"
+    )
+    back = _roundtrip(spark, pages, tmp_path)
+    assert back.filter(~F.col("parse_ok")).count() == 0
+    want = sorted(
+        (r["url"], r["warc_ts"], r["text"] or "") for r in pages.collect()
+    )
+    got = sorted(
+        (r["url"], r["warc_ts"], r["payload"]) for r in back.collect()
+    )
+    assert got == want
+
+
+def test_warc_multifile_and_header_fields(spark, tmp_path):
+    pages = gen_pages(spark, 500, clean=True).select(
+        "url", "warc_ts", "text"
+    ).repartition(7)
+    back = _roundtrip(spark, pages, tmp_path)
+    assert back.count() == 500
+    r = back.first()
+    assert r["rec_type"] == "conversion"
+    assert r["content_type"] == "text/plain"
+    assert r["record_id"].startswith("<urn:md5:")
+    assert r["content_length"] == len(r["payload"].encode("utf-8"))
+
+
+def test_warc_payload_with_bare_version_line_is_fine(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            ("https://a.example/1", "see WARC/1.0 spec for details"),
+            ("https://a.example/2", "plain"),
+        ],
+        "url string, text string",
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    back = _roundtrip(spark, df, tmp_path)
+    got = {r["url"]: (r["payload"], r["parse_ok"]) for r in back.collect()}
+    assert got["https://a.example/1"] == (
+        "see WARC/1.0 spec for details", True
+    )
+    assert got["https://a.example/2"] == ("plain", True)
+
+
+def test_warc_payload_containing_full_delimiter_is_flagged(spark, tmp_path):
+    evil = "before\r\n\r\nWARC/1.0\r\nafter"
+    df = spark.createDataFrame(
+        [("https://a.example/evil", evil), ("https://a.example/ok", "fine")],
+        "url string, text string",
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    back = _roundtrip(spark, df, tmp_path)
+    rows = back.collect()
+    # the splitter cannot recover the evil record, but it must FLAG the
+    # damage (parse_ok=false somewhere) and keep the clean record exact
+    ok = {r["url"]: r for r in rows if r["url"] == "https://a.example/ok"}
+    assert ok["https://a.example/ok"]["payload"] == "fine"
+    assert ok["https://a.example/ok"]["parse_ok"] is True
+    assert any(not r["parse_ok"] for r in rows)
+
+
+def test_warc_null_text_and_missing_length(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("https://a.example/null", None)], "url string, text string"
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    back = _roundtrip(spark, df, tmp_path)
+    r = back.first()
+    assert r["payload"] == "" and r["parse_ok"] is True
+    # hand-written record with no Content-Length header
+    p = str(tmp_path / "manual")
+    import os
+
+    os.makedirs(p, exist_ok=True)
+    with open(f"{p}/part-0.warc", "wb") as f:
+        f.write(
+            b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            b"WARC-Target-URI: https://m.example/x\r\n\r\nbody\r\n\r\n"
+        )
+    r = read_warc(spark, p).first()
+    assert r["url"] == "https://m.example/x"
+    assert r["parse_ok"] is False and r["payload"] is None
