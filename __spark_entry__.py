@@ -1084,6 +1084,35 @@ def q_keywords(spark, sf_dir):
     return tfidf_topk_terms(d, text_col="text", key_col="doc_id", k=5)
 
 
+def q_html_profile(spark, sf_dir):
+    """Markup-density pre-filter signals (tag/link/script counts,
+    text-to-markup basis points) as pure regexp projections. The
+    corpus has no html column, so the page markup is PLANTED
+    deterministically from doc_id/source/text (identical expression in
+    the oracle, like pii_scan's planted PII) — scripts on every 3rd
+    doc, doc_id%5 nav links, multibyte text exercising byte-based
+    ratios."""
+    from py_schemax_spark.operators.htmlstats import html_profile
+
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit('<script src="x.js"></script>'),
+        ).otherwise(F.lit("")),
+        F.lit("<h1>"), F.col("source"), F.lit("</h1><p>"),
+        F.col("text"), F.lit("</p>"),
+        F.expr(
+            "repeat('<a href=\"/l\">link</a>', CAST(doc_id % 5 AS INT))"
+        ),
+        F.lit("</body></html>"),
+    )
+    return html_profile(
+        d.withColumn("html", html), html_col="html", key_col="doc_id"
+    )
+
+
 def q_asof_purchase(spark, sf_dir):
     """As-of join (Spark has no built-in; DuckDB oracles with its
     native ASOF JOIN): each non-purchase event gets the user's most
@@ -1301,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "pack_chunks": q_pack_chunks,
         "keywords": q_keywords,
+        "html_profile": q_html_profile,
         "unigram_logprob": q_unigram_logprob,
         "url_features": q_url_features,
     }
@@ -2007,6 +2037,35 @@ SELECT doc_id, CAST(rank AS INT) AS rank, term,
 FROM ranked WHERE rank <= 5
 """
 
+    # html profile: identical planted markup + identical lexical
+    # regexes (lookaround-free; DuckDB regexp_replace needs the 'g'
+    # flag — Spark's is global by default); strlen = bytes in DuckDB
+    html_profile_sql = r"""
+WITH h AS (
+  SELECT doc_id,
+         '<html><body>'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '<script src="x.js"></script>' ELSE '' END
+         || '<h1>' || source || '</h1><p>' || text || '</p>'
+         || repeat('<a href="/l">link</a>', CAST(doc_id % 5 AS INT))
+         || '</body></html>' AS html
+  FROM documents
+)
+SELECT doc_id,
+       CAST(strlen(html) AS INT) AS html_bytes,
+       CAST(len(regexp_extract_all(html, '<[a-zA-Z][^>]*>')) AS INT)
+         AS n_tags,
+       CAST(len(regexp_extract_all(html, '<[aA][ \t\n\r\f>]')) AS INT)
+         AS n_links,
+       CAST(len(regexp_extract_all(html,
+             '<[sS][cC][rR][iI][pP][tT][ \t\n\r\f>]')) AS INT)
+         AS n_scripts,
+       CASE WHEN strlen(html) > 0 THEN
+         CAST((10000 * strlen(regexp_replace(html, '<[^>]*>', '', 'g')))
+              // strlen(html) AS BIGINT) END AS text_bp
+FROM h
+"""
+
     # sessionization: identical window recipe — exact µs gaps,
     # (ts, event_id) tie-break, cumulative-sum session index
     sessionize_sql = """
@@ -2247,6 +2306,7 @@ FROM documents
         "chunk_documents": chunk_documents_sql,
         "pack_chunks": pack_chunks_sql,
         "keywords": keywords_sql,
+        "html_profile": html_profile_sql,
         "unigram_logprob": unigram_logprob_sql,
         "url_features": url_features_sql,
     }

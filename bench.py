@@ -235,7 +235,7 @@ def main() -> None:
         "passage_dedup", "quality_topk_per_lang", "asof_purchase",
         "dedup_clusters", "repetition_profile", "pii_scan", "decontam",
         "line_dedup", "sessionize", "unigram_logprob", "url_features",
-        "chunk_documents", "pack_chunks", "keywords",
+        "chunk_documents", "pack_chunks", "keywords", "html_profile",
     ]
     queries = entrymod.queries()
     from py_schemax_spark.operators.dedup import (
