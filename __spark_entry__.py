@@ -1267,6 +1267,59 @@ def q_url_features(spark, sf_dir):
     )
 
 
+def _quality_planted_text(spark, sf_dir):
+    """Shared planting for the quality-filter queries: the corpus text
+    is single-line prose, so line-anchored and phrase rules would all
+    trivially pass — plant bullets / ellipsis lines / C4 drop phrases
+    deterministically from doc_id (same expression in the oracle)."""
+    d = _docs(spark, sf_dir)
+    c = F.col("text")
+    planted = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("- item one\n- item two\n"), c),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(c, F.lit("\nto be continued...")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("#tag {code} javascript lorem ipsum. "), c),
+        )
+        .otherwise(c)
+    )
+    return d.withColumn("text", planted)
+
+
+_QUALITY_PLANT_SQL = """
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN '- item one' || chr(10) || '- item two'
+                       || chr(10) || text
+           WHEN 1 THEN text || chr(10) || 'to be continued...'
+           WHEN 2 THEN '#tag {code} javascript lorem ipsum. ' || text
+           ELSE text
+         END AS text
+  FROM documents
+"""
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher rule signals + per-rule flags + verdict over the planted
+    corpus — one codegen'd projection, zero exchanges."""
+    from py_schemax_spark.operators.quality import gopher_profile
+
+    return gopher_profile(_quality_planted_text(spark, sf_dir))
+
+
+def q_c4_filters(spark, sf_dir):
+    """C4 page-filter signals over the planted corpus."""
+    from py_schemax_spark.operators.quality import c4_profile
+
+    return c4_profile(_quality_planted_text(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats": q_stats,
@@ -1333,6 +1386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_profile": q_html_profile,
         "unigram_logprob": q_unigram_logprob,
         "url_features": q_url_features,
+        "gopher_quality": q_gopher_quality,
+        "c4_filters": q_c4_filters,
     }
 
 
@@ -2159,6 +2214,121 @@ SELECT doc_id,
 FROM h
 """
 
+    # Gopher/C4 quality filters: every signal is integer-exact and
+    # every regexp pattern is imported from the operator module, so
+    # Java regex and RE2 run the SAME lookaround-free pattern; the
+    # stop-word count is recomputed from first principles with
+    # list_filter over the same explicit-whitespace tokens.
+    from py_schemax_spark.operators.quality import (
+        ALPHA_WORD_RE as _Q_ALPHA,
+        BULLET_LINE_RE as _Q_BULLET,
+        C4_BAD_PHRASES as _Q_PHRASES,
+        ELLIPSIS_LINE_RE as _Q_ELLIPSIS,
+        GOPHER_STOPWORDS as _Q_STOPS,
+        SENTENCE_RE as _Q_SENT,
+        SYMBOL_RE as _Q_SYM,
+        TERMINAL_LINE_RE as _Q_TERM,
+        WORD_RE as _Q_WORD,
+        WS_CHAR_RE as _Q_WS,
+    )
+
+    _q_stop_list = ", ".join(f"'{w}'" for w in _Q_STOPS)
+    gopher_sql = f"""
+WITH planted AS ({_QUALITY_PLANT_SQL}),
+raw AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '{_Q_WORD}')) AS n_words,
+         length(regexp_replace(text, '{_Q_WS}', '', 'g')) AS word_chars,
+         len(regexp_extract_all(text, '{_Q_SYM}')) AS n_symbols,
+         len(regexp_extract_all(text, '\\n')) + 1 AS n_lines,
+         len(regexp_extract_all(chr(10) || text || chr(10),
+                                '{_Q_BULLET}')) AS bullet_lines,
+         len(regexp_extract_all(chr(10) || text || chr(10),
+                                '{_Q_ELLIPSIS}')) AS ellipsis_lines,
+         len(regexp_extract_all(text, '{_Q_ALPHA}')) AS alpha_words,
+         len(list_filter(
+               string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f]+'),
+               x -> x IN ({_q_stop_list}))) AS stop_hits
+  FROM planted
+),
+sig AS (
+  SELECT doc_id,
+         CAST(n_words AS BIGINT) AS n_words,
+         CASE WHEN n_words > 0
+              THEN CAST(floor(word_chars * 100 / n_words) AS BIGINT)
+         END AS mean_word_len_x100,
+         CASE WHEN n_words > 0
+              THEN CAST(floor(n_symbols * 10000 / n_words) AS BIGINT)
+         END AS symbol_bp,
+         CASE WHEN text IS NOT NULL
+              THEN CAST(n_lines AS BIGINT) END AS n_lines,
+         CASE WHEN n_lines > 0
+              THEN CAST(floor(bullet_lines * 10000 / n_lines) AS BIGINT)
+         END AS bullet_bp,
+         CASE WHEN n_lines > 0
+              THEN CAST(floor(ellipsis_lines * 10000 / n_lines) AS BIGINT)
+         END AS ellipsis_bp,
+         CASE WHEN n_words > 0
+              THEN CAST(floor(alpha_words * 10000 / n_words) AS BIGINT)
+         END AS alpha_bp,
+         CAST(stop_hits AS BIGINT) AS stop_hits
+  FROM raw
+)
+SELECT doc_id, n_words, mean_word_len_x100, symbol_bp, n_lines,
+       bullet_bp, ellipsis_bp, alpha_bp, stop_hits,
+       coalesce(n_words BETWEEN 50 AND 100000, false) AS flag_word_count,
+       coalesce(mean_word_len_x100 BETWEEN 300 AND 1000, false)
+         AS flag_word_len,
+       coalesce(symbol_bp <= 1000, false) AS flag_symbol,
+       coalesce(bullet_bp <= 9000, false) AS flag_bullet,
+       coalesce(ellipsis_bp <= 3000, false) AS flag_ellipsis,
+       coalesce(alpha_bp >= 8000, false) AS flag_alpha,
+       coalesce(stop_hits >= 2, false) AS flag_stopword,
+       coalesce(n_words BETWEEN 50 AND 100000, false)
+         AND coalesce(mean_word_len_x100 BETWEEN 300 AND 1000, false)
+         AND coalesce(symbol_bp <= 1000, false)
+         AND coalesce(bullet_bp <= 9000, false)
+         AND coalesce(ellipsis_bp <= 3000, false)
+         AND coalesce(alpha_bp >= 8000, false)
+         AND coalesce(stop_hits >= 2, false) AS gopher_pass
+FROM sig
+"""
+
+    _q_bad_phrase = " OR ".join(
+        f"contains(lower(text), '{p}')" for p in _Q_PHRASES
+    )
+    c4_sql = f"""
+WITH planted AS ({_QUALITY_PLANT_SQL}),
+raw AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '{_Q_SENT}')) AS n_sentences,
+         len(regexp_extract_all(text, '\\n')) + 1 AS n_lines,
+         len(regexp_extract_all(chr(10) || text || chr(10),
+                                '{_Q_TERM.replace(chr(39), chr(39) * 2)}'))
+           AS terminal_lines,
+         contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+         (contains(text, '{{') OR contains(text, '}}')) AS has_curly,
+         (len(regexp_extract_all(
+            ' ' || regexp_replace(trim(lower(text)),
+                                  '[ \\t\\n\\r\\f]+', '  ', 'g') || ' ',
+            ' javascript ')) > 0) AS has_javascript,
+         ({_q_bad_phrase}) AS has_bad_phrase
+  FROM planted
+)
+SELECT doc_id,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CASE WHEN n_lines > 0
+            THEN CAST(floor(terminal_lines * 10000 / n_lines) AS BIGINT)
+       END AS terminal_line_bp,
+       has_lorem_ipsum, has_curly, has_javascript, has_bad_phrase,
+       coalesce(NOT has_lorem_ipsum, false)
+         AND coalesce(NOT has_curly, false)
+         AND coalesce(NOT has_javascript, false)
+         AND coalesce(NOT has_bad_phrase, false)
+         AND coalesce(n_sentences >= 3, false) AS c4_keep
+FROM raw
+"""
+
     # containment contract: the Spark query returns exact-dup pairs
     # MISSING from the LSH candidates — correct iff EMPTY, so the
     # oracle is the empty relation with the same schema
@@ -2309,4 +2479,6 @@ FROM documents
         "html_profile": html_profile_sql,
         "unigram_logprob": unigram_logprob_sql,
         "url_features": url_features_sql,
+        "gopher_quality": gopher_sql,
+        "c4_filters": c4_sql,
     }

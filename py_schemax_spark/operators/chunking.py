@@ -153,11 +153,19 @@ def pack_chunks(
     # long as key_col is unique per row (the engine's key contract)
     ranged = base.repartitionByRange(F.col("_ord"), F.col(key_col))
     ranged = ranged.withColumn("_pid", F.spark_partition_id())
-    # localCheckpoint pins the partition ids: _pid must mean the SAME
-    # partitioning in the local-sum pass and the totals pass, and the
-    # range exchange's sampled bounds are not otherwise deterministic
-    # across re-computations of the two branches
-    ranged = ranged.localCheckpoint()
+    # persist pins the partition ids: _pid must mean the SAME
+    # partitioning in the local-sum pass and the totals pass. The _pid
+    # values are computed INSIDE the cached plan, so both branches read
+    # them baked into the same materialized blocks — AQE cannot re-plan
+    # the exchange differently per branch the way it can when the two
+    # branches compile independently. (Round 3: was localCheckpoint,
+    # which pins an unreleasable RDD for the session lifetime — a leak
+    # per call; persist is registry-released like every other operator
+    # intermediate, and block-level recompute after executor loss is
+    # partition-local against the already-planned stage.)
+    from pyspark import StorageLevel
+
+    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
     # (2) partition-local exclusive running sum
     wlocal = (
         Window.partitionBy("_pid")
@@ -180,7 +188,7 @@ def pack_chunks(
         running += r["_tot"] or 0
     spark = df.sparkSession
     off_df = spark.createDataFrame(offsets, "_pid int, _off bigint")
-    return (
+    out = (
         local.join(F.broadcast(off_df), "_pid")
         .select(
             F.col(key_col),
@@ -194,3 +202,6 @@ def pack_chunks(
             ),
         )
     )
+    from py_schemax_spark.operators.dedup import _track_persisted
+
+    return _track_persisted(out, [ranged])

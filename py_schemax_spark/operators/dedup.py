@@ -80,6 +80,42 @@ def release_all_intermediates() -> int:
     return n
 
 
+def _pinned_rdd_ids(sc) -> set:
+    """Ids of RDDs currently pinned in the block manager (persisted or
+    locally checkpointed) — via JavaSparkContext, whose java.util.Map
+    py4j can iterate (the scala SparkContext map cannot)."""
+    return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def _unpersist_rdd_ids(sc, ids: set) -> None:
+    """Free pinned RDDs by id. The ONLY way to release a
+    ``localCheckpoint``: DataFrame.unpersist goes through the cache
+    manager, which has no entry for checkpoint blocks."""
+    m = sc._jsc.getPersistentRDDs()
+    it = m.entrySet().iterator()
+    while it.hasNext():
+        e = it.next()
+        if e.getKey() in ids:
+            e.getValue().unpersist(False)
+
+
+class _CheckpointHandle:
+    """Registry shim for localCheckpoint blocks: exposes the
+    ``unpersist()`` the release registry calls on everything it
+    tracks. Releasing a checkpoint is FINAL — unlike a persisted
+    DataFrame there is no lineage to recompute from — so only release
+    after the consuming result is fully materialized (the registry
+    contract already says exactly that)."""
+
+    def __init__(self, sc, ids: set):
+        self._sc = sc
+        self._ids = set(ids)
+
+    def unpersist(self, blocking: bool = False) -> None:
+        _unpersist_rdd_ids(self._sc, self._ids)
+        self._ids.clear()
+
+
 def _log_dropped_buckets(
     annotated: DataFrame, bucket_cols: list[str], cap: int, tag: str
 ) -> None:
@@ -798,10 +834,17 @@ def connected_components(
         resized.count()
         edges.unpersist()
         edges = resized
+    sc = pairs.sparkSession.sparkContext
+    pre = _pinned_rdd_ids(sc)
     labels = (
         edges.select("u").distinct().withColumn("lbl", F.col("u"))
         .localCheckpoint()
     )
+    # Round k-1's checkpoint blocks are dead the moment round k's
+    # eager checkpoint materializes — free them then, instead of
+    # pinning every round's labels table for the session lifetime
+    # (at 10^12 docs each round pins a nodes-sized table).
+    prev_ids = _pinned_rdd_ids(sc) - pre
     for _ in range(max_iter):
         msgs = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
@@ -823,6 +866,7 @@ def connected_components(
         thru = stepped.select(
             F.col("u").alias("lbl"), F.col("lbl").alias("_lbl2")
         )
+        pre = _pinned_rdd_ids(sc)
         new = (
             stepped.join(thru, "lbl", "left")
             .select(
@@ -832,18 +876,22 @@ def connected_components(
             )
             .localCheckpoint()
         )
+        new_ids = _pinned_rdd_ids(sc) - pre
         changed = new.filter(F.col("_changed")).limit(1).count()
         labels = new.select("u", "lbl")
+        _unpersist_rdd_ids(sc, prev_ids)
+        prev_ids = new_ids
         if changed == 0:
             break
     else:
         edges.unpersist()
+        _unpersist_rdd_ids(sc, prev_ids)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
     return _track_persisted(
         labels.select(F.col("u").alias("node"), F.col("lbl").alias("component")),
-        [edges],
+        [edges, _CheckpointHandle(sc, prev_ids)],
     )
 
 

@@ -951,3 +951,36 @@ def test_repetition_profile_exact(spark):
                       "top_token": "a"}
     assert out[2]["top_token_n"] == 2 and out[2]["top_token"] == "a"
     assert out[3]["dup_token_bp"] == 0 and out[3]["top_token_n"] == 1
+
+
+def test_connected_components_releases_round_checkpoints(spark):
+    """Iterative lineage truncation must not pin a labels table per
+    round for the session lifetime: after the result is consumed and
+    the registry released, the block manager holds nothing — and
+    mid-run, superseded rounds are freed as soon as the next round
+    materializes (a multi-round chain graph pins at most edges + two
+    rounds at any instant)."""
+    from py_schemax_spark.operators.dedup import (
+        connected_components,
+        release_all_intermediates,
+    )
+
+    release_all_intermediates()
+    jsc = spark.sparkContext._jsc
+    # delta-based: session-scoped fixtures hold .cache()d tables in
+    # the same block manager — count only what THIS run adds
+    before = jsc.getPersistentRDDs().size()
+    n = 9
+    pairs = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(n - 1)], ["key_a", "key_b"]
+    )
+    out = connected_components(pairs)
+    rows = out.collect()
+    assert len(rows) == n
+    # multi-round run, but only the FINAL round's checkpoint (+ the
+    # persisted edge set) may still be pinned here
+    assert jsc.getPersistentRDDs().size() - before <= 3
+    release_all_intermediates()
+    assert jsc.getPersistentRDDs().size() == before
+    # the result was materialized before release; re-collect of the
+    # returned handle is NOT part of the contract after release

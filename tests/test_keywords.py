@@ -87,10 +87,15 @@ def test_tfidf_topk_python_twin_sweep(spark):
 def test_tfidf_releases_its_cache(spark):
     from py_schemax_spark.operators.dedup import release_all_intermediates
 
+    # delta-based: session-scoped test fixtures legitimately hold
+    # .cache()d tables in the same block manager — assert tfidf adds
+    # nothing that release doesn't take back, not a global zero
+    release_all_intermediates()
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
     df = spark.createDataFrame(
         [(1, "a b"), (2, "b c")], "doc_id bigint, text string"
     )
     tfidf_topk_terms(df, k=1).collect()
     release_all_intermediates()
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() == before
