@@ -2252,24 +2252,26 @@ raw AS (
   FROM planted
 ),
 sig AS (
+  -- `//` = exact integral division, matching the engine's `div`
+  -- (a floored double quotient can sit a ULP off a rule boundary)
   SELECT doc_id,
          CAST(n_words AS BIGINT) AS n_words,
          CASE WHEN n_words > 0
-              THEN CAST(floor(word_chars * 100 / n_words) AS BIGINT)
+              THEN CAST((word_chars * 100) // n_words AS BIGINT)
          END AS mean_word_len_x100,
          CASE WHEN n_words > 0
-              THEN CAST(floor(n_symbols * 10000 / n_words) AS BIGINT)
+              THEN CAST((n_symbols * 10000) // n_words AS BIGINT)
          END AS symbol_bp,
          CASE WHEN text IS NOT NULL
               THEN CAST(n_lines AS BIGINT) END AS n_lines,
          CASE WHEN n_lines > 0
-              THEN CAST(floor(bullet_lines * 10000 / n_lines) AS BIGINT)
+              THEN CAST((bullet_lines * 10000) // n_lines AS BIGINT)
          END AS bullet_bp,
          CASE WHEN n_lines > 0
-              THEN CAST(floor(ellipsis_lines * 10000 / n_lines) AS BIGINT)
+              THEN CAST((ellipsis_lines * 10000) // n_lines AS BIGINT)
          END AS ellipsis_bp,
          CASE WHEN n_words > 0
-              THEN CAST(floor(alpha_words * 10000 / n_words) AS BIGINT)
+              THEN CAST((alpha_words * 10000) // n_words AS BIGINT)
          END AS alpha_bp,
          CAST(stop_hits AS BIGINT) AS stop_hits
   FROM raw
@@ -2318,7 +2320,7 @@ raw AS (
 SELECT doc_id,
        CAST(n_sentences AS BIGINT) AS n_sentences,
        CASE WHEN n_lines > 0
-            THEN CAST(floor(terminal_lines * 10000 / n_lines) AS BIGINT)
+            THEN CAST((terminal_lines * 10000) // n_lines AS BIGINT)
        END AS terminal_line_bp,
        has_lorem_ipsum, has_curly, has_javascript, has_bad_phrase,
        coalesce(NOT has_lorem_ipsum, false)

@@ -188,18 +188,27 @@ def pack_chunks(
         running += r["_tot"] or 0
     spark = df.sparkSession
     off_df = spark.createDataFrame(offsets, "_pid int, _off bigint")
+    budget = int(budget_tokens)
+    if budget <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
     out = (
         local.join(F.broadcast(off_df), "_pid")
         .select(
             F.col(key_col),
             "n_tokens",
             (F.col("_local") + F.col("_off")).alias("start_token"),
-            ((F.col("_local") + F.col("_off")) / budget_tokens)
-            .cast("bigint")
-            .alias("bin_id"),
-            ((F.col("_local") + F.col("_off")) % budget_tokens).alias(
-                "bin_offset"
-            ),
+        )
+        .select(
+            F.col(key_col),
+            "n_tokens",
+            "start_token",
+            # `div`, not a cast double quotient: start_token is a
+            # global token offset that exceeds 2^53 at corpus scale,
+            # where long->double loses exactness and bin_id would
+            # disagree with the exact integer % below (and with the
+            # SQL oracle's `//`)
+            F.expr(f"start_token div {budget}").alias("bin_id"),
+            F.expr(f"start_token % {budget}").alias("bin_offset"),
         )
     )
     from py_schemax_spark.operators.dedup import _track_persisted

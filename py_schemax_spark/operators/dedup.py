@@ -80,11 +80,13 @@ def release_all_intermediates() -> int:
     return n
 
 
-def _pinned_rdd_ids(sc) -> set:
-    """Ids of RDDs currently pinned in the block manager (persisted or
-    locally checkpointed) — via JavaSparkContext, whose java.util.Map
-    py4j can iterate (the scala SparkContext map cannot)."""
-    return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+def _checkpoint_rdd_ids(df: DataFrame) -> set:
+    """RDD ids backing a ``localCheckpoint``'ed DataFrame: its analyzed
+    plan is a ``LogicalRDD`` wrapping the checkpoint RDD, read directly
+    off the plan. Direct extraction — NOT a global block-manager
+    snapshot diff, which would capture (and later force-free) anything
+    a concurrent thread persisted in the same window."""
+    return {df._jdf.queryExecution().analyzed().rdd().id()}
 
 
 def _unpersist_rdd_ids(sc, ids: set) -> None:
@@ -835,7 +837,6 @@ def connected_components(
         edges.unpersist()
         edges = resized
     sc = pairs.sparkSession.sparkContext
-    pre = _pinned_rdd_ids(sc)
     labels = (
         edges.select("u").distinct().withColumn("lbl", F.col("u"))
         .localCheckpoint()
@@ -844,7 +845,7 @@ def connected_components(
     # eager checkpoint materializes — free them then, instead of
     # pinning every round's labels table for the session lifetime
     # (at 10^12 docs each round pins a nodes-sized table).
-    prev_ids = _pinned_rdd_ids(sc) - pre
+    prev_ids = _checkpoint_rdd_ids(labels)
     for _ in range(max_iter):
         msgs = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
@@ -866,7 +867,6 @@ def connected_components(
         thru = stepped.select(
             F.col("u").alias("lbl"), F.col("lbl").alias("_lbl2")
         )
-        pre = _pinned_rdd_ids(sc)
         new = (
             stepped.join(thru, "lbl", "left")
             .select(
@@ -876,7 +876,7 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        new_ids = _pinned_rdd_ids(sc) - pre
+        new_ids = _checkpoint_rdd_ids(new)
         changed = new.filter(F.col("_changed")).limit(1).count()
         labels = new.select("u", "lbl")
         _unpersist_rdd_ids(sc, prev_ids)

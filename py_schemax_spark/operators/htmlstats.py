@@ -65,7 +65,12 @@ def html_profile(
         F.when(
             F.octet_length("_h") > 0,
             # `div` = exact integral division (a floored double
-            # quotient can sit a ULP off an integer boundary)
-            F.expr("(10000 * octet_length(_stripped)) div octet_length(_h)"),
+            # quotient can sit a ULP off an integer boundary); the
+            # bigint cast BEFORE the x10000 — octet_length is 32-bit
+            # and a >214KB stripped text would wrap the int multiply
+            F.expr(
+                "(10000 * cast(octet_length(_stripped) as bigint))"
+                " div octet_length(_h)"
+            ),
         ).alias("text_bp"),
     )

@@ -31,8 +31,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from py_schemax_spark.operators.chunking import NON_WS_RUN, WS_CLASS
+
 # --- shared lookaround-free patterns (imported by the SQL oracle) ----
-WORD_RE = r"[^ \t\n\r\f]+"
+# the token contract lives in chunking (one definition repo-wide);
+# these are re-exported under this module's signal-oriented names
+WORD_RE = NON_WS_RUN
 WS_CHAR_RE = r"[ \t\n\r\f]"
 # leading class EXCLUDES letters so the greedy prefix never has to
 # backtrack to surrender the required [a-zA-Z] char (Java regex; RE2
@@ -51,11 +55,15 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 C4_BAD_PHRASES = ["lorem ipsum", "terms of use", "privacy policy", "uses cookies"]
 
 
-def _div_bp(num: Column, den: Column) -> Column:
-    """Integer-exact basis points: floor(1e4·num/den); null when the
-    denominator is 0 (no words / no lines) or the text is null."""
+def _div_bp(num: str, den: str) -> Column:
+    """Integer-exact basis points over two already-named columns:
+    ``(1e4·num) div den`` — true integral division, NOT a floored
+    double quotient (which sits a ULP off an integer boundary and
+    loses exactness past 2^53); null when the denominator is 0 (no
+    words / no lines) or the text is null."""
     return F.when(
-        den > 0, F.floor((num.cast("long") * 10000) / den).cast("long")
+        F.col(den) > 0,
+        F.expr(f"(cast({num} as bigint) * 10000) div {den}"),
     )
 
 
@@ -63,6 +71,19 @@ def _sentinel_lines(c: Column) -> Column:
     """Text wrapped in sentinel newlines so line-start/line-end shapes
     are plain ``\\n``-adjacent matches (no ``$`` semantics drift)."""
     return F.concat(F.lit("\n"), c, F.lit("\n"))
+
+
+def _padded_tokens(lc: Column) -> Column:
+    """Doubled-space token rendering for whole-token hit counting
+    without lookarounds: every token ends up flanked by its OWN spaces
+    (single-space normalization would make adjacent hits share a space
+    and the second of ``'of of'`` would not count), so a whole-token
+    occurrence of ``w`` is exactly a match of ``' w '``."""
+    return F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.trim(lc), WS_CLASS, "  "),
+        F.lit(" "),
+    )
 
 
 def gopher_profile(
@@ -96,55 +117,57 @@ def gopher_profile(
     this runs in the scan stage with zero exchange.
     """
     c = F.col(text_col)
-    lc = F.lower(c)
-    n_words = F.regexp_count(c, F.lit(WORD_RE))
-    # long BEFORE the ×100: a >21M-char doc would wrap 32-bit here
-    word_chars = F.length(F.regexp_replace(c, WS_CHAR_RE, "")).cast("long")
-    n_symbols = F.regexp_count(c, F.lit(SYMBOL_RE))
     sent = _sentinel_lines(c)
-    # lines = '\n'-delimited segments of the raw text (empty text = 1)
-    n_lines = F.regexp_count(c, F.lit(r"\n")) + F.lit(1)
-    bullet_lines = F.regexp_count(sent, F.lit(BULLET_LINE_RE))
-    ellipsis_lines = F.regexp_count(sent, F.lit(ELLIPSIS_LINE_RE))
-    alpha_words = F.regexp_count(c, F.lit(ALPHA_WORD_RE))
-    # stop hits: per-word equality against the Gopher stop set — the
-    # same alternation trick as textstats.stopword_hits but bounded by
-    # word chars on both sides WITHOUT lookarounds: count words whose
-    # entire run equals a stop word by matching the run and testing
-    # membership is not regexp-able lookaround-free, so split/filter
-    # semantics are delegated to one codegen'd count per stop word:
-    # a stop word w occurs as a whole token exactly when it appears
-    # with whitespace (or string edge) on both sides — equivalently in
-    # the sentinel-padded, space-normalized text ' '||t||' ' as ' w '.
-    # Overlap caveat ('of of'): single-space normalization keeps
-    # adjacent hits one space apart, so count matches of ' w' followed
-    # by a space we do NOT consume — instead count in a doubled-space
-    # rendering where every token is flanked by its own spaces.
-    padded = F.concat(
-        F.lit(" "),
-        F.regexp_replace(F.trim(lc), r"[ \t\n\r\f]+", "  "),
-        F.lit(" "),
+    # stop hits: whole-token membership in the Gopher stop set without
+    # lookarounds — ONE alternation pass over the doubled-space
+    # rendering (see _padded_tokens); distinct stop words can never
+    # match at the same position, so the alternation count equals the
+    # per-word sum, in 1 regex scan instead of len(stop set) scans
+    stop_pat = " (" + "|".join(GOPHER_STOPWORDS) + ") "
+    # stage 1: raw counts as named columns so stage 2 can use `div`
+    # (exact integral division needs SQL-text operands)
+    raw = df.select(
+        F.col(key_col),
+        F.regexp_count(c, F.lit(WORD_RE)).alias("_n_words"),
+        # long BEFORE the ×100: a >21M-char doc would wrap 32-bit here
+        F.length(F.regexp_replace(c, WS_CHAR_RE, ""))
+        .cast("long")
+        .alias("_word_chars"),
+        F.regexp_count(c, F.lit(SYMBOL_RE)).alias("_n_symbols"),
+        # lines = '\n'-delimited segments of the raw text (empty = 1;
+        # null text propagates null through the count arithmetic)
+        (F.regexp_count(c, F.lit(r"\n")) + F.lit(1)).alias("_n_lines"),
+        F.regexp_count(sent, F.lit(BULLET_LINE_RE)).alias("_bullets"),
+        F.regexp_count(sent, F.lit(ELLIPSIS_LINE_RE)).alias("_ellipses"),
+        F.regexp_count(c, F.lit(ALPHA_WORD_RE)).alias("_alpha_words"),
+        F.regexp_count(_padded_tokens(F.lower(c)), F.lit(stop_pat)).alias(
+            "_stop_hits"
+        ),
     )
-    stop_hits = None
-    for w in GOPHER_STOPWORDS:
-        hit = F.regexp_count(padded, F.lit(rf" {w} "))
-        stop_hits = hit if stop_hits is None else stop_hits + hit
-
-    mwl = F.when(n_words > 0, F.floor(word_chars * 100 / n_words)).cast("long")
-    symbol_bp = _div_bp(n_symbols, n_words)
-    bullet_bp = _div_bp(bullet_lines, n_lines)
-    ellipsis_bp = _div_bp(ellipsis_lines, n_lines)
-    alpha_bp = _div_bp(alpha_words, n_words)
-
+    sig = raw.select(
+        F.col(key_col),
+        F.col("_n_words").cast("long").alias("n_words"),
+        F.when(
+            F.col("_n_words") > 0,
+            F.expr("(_word_chars * 100) div _n_words"),
+        ).alias("mean_word_len_x100"),
+        _div_bp("_n_symbols", "_n_words").alias("symbol_bp"),
+        F.col("_n_lines").cast("long").alias("n_lines"),
+        _div_bp("_bullets", "_n_lines").alias("bullet_bp"),
+        _div_bp("_ellipses", "_n_lines").alias("ellipsis_bp"),
+        _div_bp("_alpha_words", "_n_words").alias("alpha_bp"),
+        F.col("_stop_hits").cast("long").alias("stop_hits"),
+    )
     flags = {
-        "flag_word_count": (n_words >= min_words) & (n_words <= max_words),
-        "flag_word_len": (mwl >= min_mean_word_len_x100)
-        & (mwl <= max_mean_word_len_x100),
-        "flag_symbol": symbol_bp <= max_symbol_bp,
-        "flag_bullet": bullet_bp <= max_bullet_bp,
-        "flag_ellipsis": ellipsis_bp <= max_ellipsis_bp,
-        "flag_alpha": alpha_bp >= min_alpha_bp,
-        "flag_stopword": stop_hits >= min_stop_hits,
+        "flag_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "flag_word_len": (F.col("mean_word_len_x100") >= min_mean_word_len_x100)
+        & (F.col("mean_word_len_x100") <= max_mean_word_len_x100),
+        "flag_symbol": F.col("symbol_bp") <= max_symbol_bp,
+        "flag_bullet": F.col("bullet_bp") <= max_bullet_bp,
+        "flag_ellipsis": F.col("ellipsis_bp") <= max_ellipsis_bp,
+        "flag_alpha": F.col("alpha_bp") >= min_alpha_bp,
+        "flag_stopword": F.col("stop_hits") >= min_stop_hits,
     }
     flag_cols = [
         F.coalesce(v, F.lit(False)).alias(k) for k, v in flags.items()
@@ -154,19 +177,7 @@ def gopher_profile(
         cv = F.coalesce(v, F.lit(False))
         gopher_pass = cv if gopher_pass is None else gopher_pass & cv
 
-    return df.select(
-        F.col(key_col),
-        n_words.cast("long").alias("n_words"),
-        mwl.alias("mean_word_len_x100"),
-        symbol_bp.alias("symbol_bp"),
-        F.when(c.isNotNull(), n_lines).cast("long").alias("n_lines"),
-        bullet_bp.alias("bullet_bp"),
-        ellipsis_bp.alias("ellipsis_bp"),
-        alpha_bp.alias("alpha_bp"),
-        F.when(c.isNotNull(), stop_hits).cast("long").alias("stop_hits"),
-        *flag_cols,
-        gopher_pass.alias("gopher_pass"),
-    )
+    return sig.select("*", *flag_cols, gopher_pass.alias("gopher_pass"))
 
 
 def c4_profile(
@@ -190,36 +201,40 @@ def c4_profile(
     c = F.col(text_col)
     lc = F.lower(c)
     sent = _sentinel_lines(c)
-    n_sentences = F.regexp_count(c, F.lit(SENTENCE_RE))
-    n_lines = F.regexp_count(c, F.lit(r"\n")) + F.lit(1)
-    terminal_lines = F.regexp_count(sent, F.lit(TERMINAL_LINE_RE))
     has_lorem = lc.contains("lorem ipsum")
     has_curly = c.contains("{") | c.contains("}")
     # whole-token "javascript" via the padded-token trick (see above)
-    padded = F.concat(
-        F.lit(" "),
-        F.regexp_replace(F.trim(lc), r"[ \t\n\r\f]+", "  "),
-        F.lit(" "),
+    has_js = (
+        F.regexp_count(_padded_tokens(lc), F.lit(" javascript ")) > 0
     )
-    has_js = F.regexp_count(padded, F.lit(" javascript ")) > 0
     bad = None
     for p in C4_BAD_PHRASES:
         h = lc.contains(p)
         bad = h if bad is None else bad | h
-    keep = (
-        F.coalesce(~has_lorem, F.lit(False))
-        & F.coalesce(~has_curly, F.lit(False))
-        & F.coalesce(~has_js, F.lit(False))
-        & F.coalesce(~bad, F.lit(False))
-        & F.coalesce(n_sentences >= min_sentences, F.lit(False))
-    )
-    return df.select(
+    raw = df.select(
         F.col(key_col),
-        n_sentences.cast("long").alias("n_sentences"),
-        _div_bp(terminal_lines, n_lines).alias("terminal_line_bp"),
+        F.regexp_count(c, F.lit(SENTENCE_RE)).alias("_n_sentences"),
+        (F.regexp_count(c, F.lit(r"\n")) + F.lit(1)).alias("_n_lines"),
+        F.regexp_count(sent, F.lit(TERMINAL_LINE_RE)).alias("_terminal"),
         has_lorem.alias("has_lorem_ipsum"),
         has_curly.alias("has_curly"),
         has_js.alias("has_javascript"),
         bad.alias("has_bad_phrase"),
+    )
+    keep = (
+        F.coalesce(~F.col("has_lorem_ipsum"), F.lit(False))
+        & F.coalesce(~F.col("has_curly"), F.lit(False))
+        & F.coalesce(~F.col("has_javascript"), F.lit(False))
+        & F.coalesce(~F.col("has_bad_phrase"), F.lit(False))
+        & F.coalesce(F.col("_n_sentences") >= min_sentences, F.lit(False))
+    )
+    return raw.select(
+        F.col(key_col),
+        F.col("_n_sentences").cast("long").alias("n_sentences"),
+        _div_bp("_terminal", "_n_lines").alias("terminal_line_bp"),
+        "has_lorem_ipsum",
+        "has_curly",
+        "has_javascript",
+        "has_bad_phrase",
         keep.alias("c4_keep"),
     )

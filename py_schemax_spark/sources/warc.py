@@ -71,9 +71,13 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         F.nullif(_header(F.col("h"), "WARC-Target-URI"), F.lit("")).alias(
             "url"
         ),
+        # offset pattern X (matches the mandatory 'Z'), NOT a literal
+        # 'Z': a quoted Z parses the wall time in the SESSION timezone,
+        # shifting every warc_ts by the session offset on real
+        # Common-Crawl files (WARC dates are UTC instants by spec)
         F.to_timestamp(
             F.nullif(_header(F.col("h"), "WARC-Date"), F.lit("")),
-            "yyyy-MM-dd'T'HH:mm:ss'Z'",
+            "yyyy-MM-dd'T'HH:mm:ssX",
         ).alias("warc_ts"),
         F.nullif(_header(F.col("h"), "WARC-Type"), F.lit("")).alias(
             "rec_type"
@@ -123,20 +127,37 @@ def write_warc(
     text_col: str = "text",
 ) -> None:
     """Write WET-style ``conversion`` records (one per input row; null
-    text becomes an empty payload). Record framing matches
-    ``read_warc``: the text writer's ``lineSep`` supplies the CRLFCRLF
-    block terminator, Content-Length is the payload's UTF-8 BYTE
-    length."""
+    text becomes an empty payload; null url/warc_ts become empty
+    header values, which ``read_warc`` maps back to null — without the
+    coalesce, ``concat`` null-propagation would turn the ENTIRE record
+    string null and the text writer would silently drop the row).
+    Record framing matches ``read_warc``: the text writer's ``lineSep``
+    supplies the CRLFCRLF block terminator, Content-Length is the
+    payload's UTF-8 BYTE length."""
     payload = F.coalesce(F.col(text_col), F.lit(""))
+    url = F.coalesce(F.col(url_col), F.lit(""))
+    # render the INSTANT in UTC (WARC spec) — date_format alone prints
+    # session-timezone wall time under a literal 'Z', which is wrong
+    # for any non-UTC session (and used to cancel against the read
+    # side's matching bug within one session)
+    ts_utc = F.coalesce(
+        F.date_format(
+            F.convert_timezone(None, F.lit("UTC"), F.col(ts_col)),
+            "yyyy-MM-dd'T'HH:mm:ss",
+        ),
+        F.lit(""),
+    )
     record = F.concat(
         F.lit("WARC/1.0\r\n"),
         F.lit("WARC-Type: conversion\r\n"),
-        F.lit("WARC-Target-URI: "), F.col(url_col), F.lit("\r\n"),
+        F.lit("WARC-Target-URI: "), url, F.lit("\r\n"),
         F.lit("WARC-Date: "),
-        F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.when(ts_utc == "", F.lit("")).otherwise(
+            F.concat(ts_utc, F.lit("Z"))
+        ),
         F.lit("\r\n"),
         F.lit("WARC-Record-ID: <urn:md5:"),
-        F.md5(F.concat(F.col(url_col), payload)),
+        F.md5(F.concat(url, payload)),
         F.lit(">\r\n"),
         F.lit("Content-Type: text/plain\r\n"),
         F.lit("Content-Length: "),

@@ -49,3 +49,13 @@ def test_html_profile_plan_has_no_exchange(spark):
     df = spark.createDataFrame([("u", "<p>x</p>")], "url string, html string")
     plan = html_profile(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_html_profile_no_int32_overflow_on_large_text(spark):
+    # 10000 * octet_length must be computed in 64-bit: a page with
+    # >~214 KB of stripped text wraps a 32-bit multiply
+    big = "x" * 300_000
+    page = "<p>" + big + "</p>"
+    df = spark.createDataFrame([("u", page)], "url string, html string")
+    r = html_profile(df).first()
+    assert r["text_bp"] == (10000 * len(big)) // len(page)

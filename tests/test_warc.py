@@ -76,6 +76,58 @@ def test_warc_payload_containing_full_delimiter_is_flagged(spark, tmp_path):
     assert any(not r["parse_ok"] for r in rows)
 
 
+def test_warc_null_url_and_ts_rows_survive(spark, tmp_path):
+    # concat null-propagation must not turn the record string null —
+    # the text writer silently drops null values, vanishing the row
+    df = spark.createDataFrame(
+        [
+            (None, None, "no headers"),
+            ("https://a.example/ok", "2024-01-02 03:04:05", "fine"),
+        ],
+        "url string, ts string, text string",
+    ).select("url", F.to_timestamp("ts").alias("warc_ts"), "text")
+    back = _roundtrip(spark, df, tmp_path)
+    rows = back.collect()
+    assert len(rows) == 2
+    by_payload = {r["payload"]: r for r in rows}
+    nul = by_payload["no headers"]
+    assert nul["url"] is None and nul["warc_ts"] is None
+    assert nul["parse_ok"] is True
+    assert by_payload["fine"]["url"] == "https://a.example/ok"
+
+
+def test_warc_dates_are_utc_across_session_timezones(spark, tmp_path):
+    # WARC-Date is a UTC instant by spec: the written literal must be
+    # UTC regardless of session timezone, and the read side must parse
+    # the offset (not treat 'Z' as session-local wall time)
+    import glob
+
+    conf = spark.conf
+    orig = conf.get("spark.sql.session.timeZone")
+    epoch = 1704085200  # 2024-01-01T05:00:00Z
+    try:
+        df = spark.createDataFrame(
+            [("https://a.example/tz", "body text")],
+            "url string, text string",
+        ).withColumn("warc_ts", F.timestamp_seconds(F.lit(epoch)))
+        conf.set("spark.sql.session.timeZone", "America/New_York")
+        p = str(tmp_path / "tzw")
+        write_warc(df, p)
+        raw = b"".join(
+            open(f, "rb").read() for f in glob.glob(f"{p}/part-*")
+        )
+        assert b"WARC-Date: 2024-01-01T05:00:00Z" in raw
+        conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        r = (
+            read_warc(spark, p)
+            .select(F.unix_timestamp("warc_ts").alias("e"))
+            .first()
+        )
+        assert r["e"] == epoch
+    finally:
+        conf.set("spark.sql.session.timeZone", orig)
+
+
 def test_warc_null_text_and_missing_length(spark, tmp_path):
     df = spark.createDataFrame(
         [("https://a.example/null", None)], "url string, text string"
