@@ -1320,6 +1320,59 @@ def q_c4_filters(spark, sf_dir):
     return c4_profile(_quality_planted_text(spark, sf_dir))
 
 
+# normalization plant suffixes, shared verbatim with the oracle: the
+# corpus text is clean ASCII, so the multibyte/control/edge cases are
+# planted as a pure function of doc_id (decomposed accents that NFC
+# must compose, control bytes to strip, tab runs to collapse, and a
+# trailing newline exercising the \z-not-$ trim contract)
+_NORM_PLANT = [
+    "",
+    " café résumé ",
+    "\tnaïve\t\tpiñata",
+    " a\x08b\x7fc\x01",
+    " tail\n",
+]
+
+
+def _sql_str_expr(s: str) -> str:
+    """Render a python string as a DuckDB SQL expression — printable
+    ASCII as quoted literals, everything else as chr(codepoint) — so
+    plant constants with control bytes / combining marks round-trip
+    into the oracle exactly."""
+    if not s:
+        return "''"
+    parts: list[str] = []
+    run: list[str] = []
+    for ch in s:
+        if " " <= ch <= "~":
+            run.append(ch)
+        else:
+            if run:
+                parts.append("'" + "".join(run).replace("'", "''") + "'")
+                run = []
+            parts.append(f"chr({ord(ch)})")
+    if run:
+        parts.append("'" + "".join(run).replace("'", "''") + "'")
+    return " || ".join(parts)
+
+
+def q_normalize(spark, sf_dir):
+    """Unicode normalization (NFC + control strip + whitespace
+    canonicalization) over the planted corpus; oracled against
+    DuckDB's utf8proc ``nfc_normalize`` + the shared RE2/Java
+    rewrite patterns."""
+    from py_schemax_spark.operators.normalize import normalize_text
+
+    d = _docs(spark, sf_dir)
+    plant = F.when(F.col("doc_id") % 5 == 0, F.lit(_NORM_PLANT[0]))
+    for i in range(1, 5):
+        plant = plant.when(F.col("doc_id") % 5 == i, F.lit(_NORM_PLANT[i]))
+    planted = d.select(
+        "doc_id", F.concat(F.col("text"), plant).alias("text")
+    )
+    return normalize_text(planted)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats": q_stats,
@@ -1388,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_features": q_url_features,
         "gopher_quality": q_gopher_quality,
         "c4_filters": q_c4_filters,
+        "normalize": q_normalize,
     }
 
 
@@ -2331,6 +2385,33 @@ SELECT doc_id,
 FROM raw
 """
 
+    norm_case = " ".join(
+        f"WHEN {i} THEN text || {_sql_str_expr(p)}"
+        for i, p in enumerate(_NORM_PLANT)
+    )
+    normalize_sql = (
+        "WITH planted AS (\n"
+        "  SELECT doc_id, CASE CAST(doc_id % 5 AS INT) "
+        + norm_case
+        + " END AS text\n  FROM documents\n"
+        "), n AS (\n"
+        "  SELECT doc_id, text, length(text) AS n_raw,\n"
+        # identical rewrite chain to operators/normalize.py, in the
+        # same order: NFC -> control strip -> hws collapse -> \A/\z
+        # trim (RE2 and Java agree on every pattern here)
+        "         regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(nfc_normalize(text),\n"
+        "           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),\n"
+        "           '[ \\t]+', ' ', 'g'),\n"
+        "           '\\A[ \\t\\n\\r\\f]+', ''),\n"
+        "           '[ \\t\\n\\r\\f]+\\z', '') AS norm_text\n"
+        "  FROM planted\n)\n"
+        "SELECT doc_id, norm_text, n_raw,\n"
+        "       length(norm_text) AS n_norm,\n"
+        "       coalesce(norm_text <> text, false) AS changed\n"
+        "FROM n"
+    )
+
     # containment contract: the Spark query returns exact-dup pairs
     # MISSING from the LSH candidates — correct iff EMPTY, so the
     # oracle is the empty relation with the same schema
@@ -2483,4 +2564,5 @@ FROM documents
         "url_features": url_features_sql,
         "gopher_quality": gopher_sql,
         "c4_filters": c4_sql,
+        "normalize": normalize_sql,
     }
