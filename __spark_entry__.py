@@ -1373,6 +1373,46 @@ def q_normalize(spark, sf_dir):
     return normalize_text(planted)
 
 
+def q_url_blocklist(spark, sf_dir):
+    """Domain-blocklist + pattern-rule filtering via the bounded
+    broadcast-join suffix ladder (zero corpus exchanges). URLs and the
+    blocklist are planted deterministically: every host is
+    ``<source>.s<doc_id%4>.example.org``; the blocklist carries one
+    3-label suffix entry (blocks the whole ``s0`` bucket) plus exact
+    hosts derived from the corpus itself (``doc_id%10==3`` sources in
+    the ``s1`` bucket); gambling/tracking pattern rules are planted in
+    path/query."""
+    from py_schemax_spark.operators.urlfilter import block_urls
+
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".s"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit(".example.org/doc/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 11 == 5, F.lit("/casino")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 7 == 2, F.lit("?utm_source=x")).otherwise(
+            F.lit("")
+        ),
+    )
+    bl = (
+        d.filter(F.col("doc_id") % 10 == 3)
+        .select(
+            F.concat(F.col("source"), F.lit(".s1.example.org")).alias(
+                "domain"
+            )
+        )
+        .distinct()
+        .union(spark.createDataFrame([("s0.example.org",)], "domain string"))
+    )
+    return block_urls(
+        d.select("doc_id", url.alias("url")),
+        bl,
+        pattern_rules=[("gambling", "casino"), ("tracking", r"[?&]utm_")],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats": q_stats,
@@ -1442,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "c4_filters": q_c4_filters,
         "normalize": q_normalize,
+        "url_blocklist": q_url_blocklist,
     }
 
 
@@ -2412,6 +2453,43 @@ FROM raw
         "FROM n"
     )
 
+    url_blocklist_sql = r"""
+WITH planted AS (
+  SELECT doc_id,
+         source || '.s' || CAST(doc_id % 4 AS INT) || '.example.org' AS host,
+         'https://' || source || '.s' || CAST(doc_id % 4 AS INT)
+           || '.example.org/doc/' || doc_id
+           || CASE WHEN doc_id % 11 = 5 THEN '/casino' ELSE '' END
+           || CASE WHEN doc_id % 7 = 2 THEN '?utm_source=x' ELSE '' END
+           AS url
+  FROM documents
+),
+bl AS (
+  SELECT DISTINCT source || '.s1.example.org' AS domain
+  FROM documents WHERE doc_id % 10 = 3
+  UNION
+  SELECT 's0.example.org'
+),
+dmatch AS (
+  -- most-specific (longest) matching suffix wins, like the engine's
+  -- deepest-level-first coalesce
+  SELECT p.doc_id, max_by(b.domain, length(b.domain)) AS mdom
+  FROM planted p
+  JOIN bl b ON p.host = b.domain OR ends_with(p.host, '.' || b.domain)
+  GROUP BY p.doc_id
+)
+SELECT p.doc_id, p.host,
+       reason IS NOT NULL AS blocked, reason
+FROM (
+  SELECT p.doc_id, p.host,
+         CASE WHEN m.mdom IS NOT NULL THEN 'domain:' || m.mdom
+              WHEN regexp_matches(p.url, 'casino') THEN 'pattern:gambling'
+              WHEN regexp_matches(p.url, '[?&]utm_') THEN 'pattern:tracking'
+         END AS reason
+  FROM planted p LEFT JOIN dmatch m USING (doc_id)
+) p
+"""
+
     # containment contract: the Spark query returns exact-dup pairs
     # MISSING from the LSH candidates — correct iff EMPTY, so the
     # oracle is the empty relation with the same schema
@@ -2565,4 +2643,5 @@ FROM documents
         "gopher_quality": gopher_sql,
         "c4_filters": c4_sql,
         "normalize": normalize_sql,
+        "url_blocklist": url_blocklist_sql,
     }

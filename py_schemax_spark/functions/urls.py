@@ -1,4 +1,4 @@
-"""URL feature extraction — pure codegen'd regexp expressions.
+r"""URL feature extraction — pure codegen'd regexp expressions.
 
 Crawl curation constantly slices by URL structure (scheme allowlists,
 host-level sampling, path-depth heuristics for hub-vs-content pages,
