@@ -1413,6 +1413,25 @@ def q_url_blocklist(spark, sf_dir):
     )
 
 
+_MIX_BUDGETS = {"en": 2500, "de": 800, "fr": 0}
+_MIX_DEFAULT = 300
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Deterministic corpus mixing to per-language token budgets via
+    the two-level prefix sum (no group-wide window). The (md5(key),
+    key) order and exclusive-cumsum keep rule are SQL-reproducible, so
+    the single-window DuckDB oracle is byte-exact."""
+    from py_schemax_spark.operators.mixing import sample_to_token_budget
+
+    return sample_to_token_budget(
+        _docs(spark, sf_dir),
+        _MIX_BUDGETS,
+        group_col="lang",
+        default_budget=_MIX_DEFAULT,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats": q_stats,
@@ -1483,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "normalize": q_normalize,
         "url_blocklist": q_url_blocklist,
+        "corpus_mix": q_corpus_mix,
     }
 
 
@@ -2453,6 +2473,32 @@ FROM raw
         "FROM n"
     )
 
+    mix_case = " ".join(
+        f"WHEN '{g}' THEN {b}" for g, b in _MIX_BUDGETS.items()
+    )
+    corpus_mix_sql = (
+        r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         coalesce(len(regexp_extract_all(text, '[^ \t\n\r\f]+')), 0)
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM t
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_before AS BIGINT) AS cum_before,
+       cum_before < (CASE lang """
+        + mix_case
+        + f" ELSE {_MIX_DEFAULT} END) AS kept\nFROM c"
+    )
+
     url_blocklist_sql = r"""
 WITH planted AS (
   SELECT doc_id,
@@ -2644,4 +2690,5 @@ FROM documents
         "c4_filters": c4_sql,
         "normalize": normalize_sql,
         "url_blocklist": url_blocklist_sql,
+        "corpus_mix": corpus_mix_sql,
     }
