@@ -770,11 +770,49 @@ def simhash_near_duplicates(
 # --- Cluster formation (the last stage of the dedup ladder) ------------------
 
 
+def _driver_components(spark, edges: DataFrame) -> DataFrame:
+    """Union-find over a small collected edge set (both-direction
+    edges; one direction suffices). Component id = min node id, same
+    contract as the distributed rounds."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.collect():
+        u, v = r["u"], r["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min keeps every root the component minimum
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    rows = [(n, find(n)) for n in parent]
+    node_t = edges.schema["u"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", node_t),
+            T.StructField("component", node_t),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "key_a",
     dst: str = "key_b",
     max_iter: int = 50,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over verified duplicate PAIRS — the stage
     that turns pairwise near-dup evidence into dedup CLUSTERS (a~b and
@@ -816,7 +854,12 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
-    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # persist the single-direction pairs first: the doubled-edge union
+    # has the (possibly expensive) upstream pair pipeline as BOTH
+    # branches, and would otherwise run it twice on materialization
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     edges = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
@@ -828,6 +871,21 @@ def connected_components(
     # propagation round would then pay corpus-width task scheduling.
     # The count is free (edges is persisted and needed by round 1).
     n_edges = edges.count()
+    e.unpersist()  # doubled set is materialized; the one-way set is dead
+    # Small-graph fast path: a propagation ROUND is several stages of
+    # scheduling regardless of data volume, so a 7k-edge graph pays
+    # ~10s of pure overhead for ~1ms of actual work. Verified-pair
+    # graphs are tiny relative to their corpus (bounded upstream by
+    # LSH bucket caps), so when the already-materialized edge count
+    # fits the driver comfortably, run union-find there — identical
+    # min-label semantics (python str ordering == Spark's UTF8 byte
+    # ordering: UTF-8 is code-point order-preserving), asserted equal
+    # to the distributed path in tests. The distributed rounds remain
+    # the path for genuinely large pair graphs.
+    if driver_max_edges and n_edges <= driver_max_edges:
+        out = _driver_components(pairs.sparkSession, edges)
+        edges.unpersist()
+        return out
     target = max(1, int(n_edges // 4_000_000) + (1 if n_edges % 4_000_000 else 0))
     if target < edges.rdd.getNumPartitions():
         resized = edges.repartition(target, "u").persist(

@@ -889,10 +889,42 @@ def test_connected_components_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(f"n{i}", f"n{i+1}") for i in range(n - 1)], ["key_a", "key_b"]
     )
+    # force the distributed rounds (the driver fast path would hide a
+    # broken early-exit loop)
     comp = {r["node"]: r["component"]
-            for r in connected_components(pairs).collect()}
+            for r in connected_components(pairs, driver_max_edges=0).collect()}
     assert set(comp.values()) == {"n0"}
     assert len(comp) == n
+
+
+def test_connected_components_driver_path_matches_distributed(spark):
+    """The size-gated driver union-find must produce byte-identical
+    (node, component) labels to the distributed rounds — random
+    graph with chains, cliques, singleton-free disjoint parts."""
+    import random
+
+    from py_schemax_spark.operators.dedup import connected_components
+
+    rng = random.Random(318)
+    edges = set()
+    # chains + random extra edges over 3 disjoint id ranges
+    for base in (0, 100, 200):
+        ids = [base + i for i in range(30)]
+        for a, b in zip(ids, ids[1:]):
+            if rng.random() < 0.8:
+                edges.add((f"k{a}", f"k{b}"))
+        for _ in range(15):
+            edges.add(
+                (f"k{rng.choice(ids)}", f"k{rng.choice(ids)}")
+            )
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], ["key_a", "key_b"]
+    )
+    fast = {r["node"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    dist = {r["node"]: r["component"]
+            for r in connected_components(pairs, driver_max_edges=0).collect()}
+    assert fast == dist
 
 
 def test_pii_scan_planted_exact(spark):
@@ -974,7 +1006,7 @@ def test_connected_components_releases_round_checkpoints(spark):
     pairs = spark.createDataFrame(
         [(f"n{i}", f"n{i+1}") for i in range(n - 1)], ["key_a", "key_b"]
     )
-    out = connected_components(pairs)
+    out = connected_components(pairs, driver_max_edges=0)
     rows = out.collect()
     assert len(rows) == n
     # multi-round run, but only the FINAL round's checkpoint (+ the
