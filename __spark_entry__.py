@@ -1413,6 +1413,71 @@ def q_url_blocklist(spark, sf_dir):
     )
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup over the embeddings table plus planted semantic
+    duplicates (the synthetic vectors' max natural pairwise cosine is
+    ~0.51, so duplicates are planted: exact twins on vec_id%50, scaled
+    twins on vec_id%33 — scaling is cosine-invariant, sim 1.0).
+    Rows-only by design (float k-means is not SQL-reproducible);
+    `semdedup_containment` is the hash-green exactness gate."""
+    from py_schemax_spark.operators.semdedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    nn = emb.filter(F.col("embedding").isNotNull())
+    exact = nn.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    scaled = nn.filter(F.col("vec_id") % 33 == 0).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.unionByName(exact).unionByName(scaled)
+    return semantic_dedup(corpus, dim=64, threshold=0.9999, n_lists=8)
+
+
+def q_semdedup_containment(spark, sf_dir):
+    """Containment oracle for semantic dedup: planted EXACT-duplicate
+    embeddings (cosine 1.0) must always share a cluster list (same
+    matmul, same argmax) and collapse into one component with the
+    lower id surviving. Returns violation rows — expected collapses
+    missing from the verdict; the oracle is the empty set."""
+    from py_schemax_spark.operators.semdedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(
+        (F.col("vec_id") % 50 == 0) & F.col("embedding").isNotNull()
+    )
+    twins = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(twins)
+    verdict = semantic_dedup(corpus, dim=64, threshold=0.9999, n_lists=8)
+    # every twin must be non-surviving and share its original's cluster
+    v_orig = verdict.select(
+        F.col("vec_id").alias("orig_id"),
+        F.col("cluster_id").alias("orig_cluster"),
+    )
+    v_twin = verdict.select(
+        F.col("vec_id").alias("twin_id"),
+        F.col("cluster_id").alias("twin_cluster"),
+        F.col("is_survivor").alias("twin_survives"),
+    )
+    joined = base.select(
+        F.col("vec_id").alias("orig_id"),
+        (F.col("vec_id") + 1_000_000).alias("twin_id"),
+    ).join(v_orig, "orig_id").join(v_twin, "twin_id")
+    return joined.filter(
+        (F.col("orig_cluster") != F.col("twin_cluster"))
+        | F.col("twin_survives")
+    ).select("orig_id", "twin_id")
+
+
 _MIX_BUDGETS = {"en": 2500, "de": 800, "fr": 0}
 _MIX_DEFAULT = 300
 
@@ -1503,6 +1568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize": q_normalize,
         "url_blocklist": q_url_blocklist,
         "corpus_mix": q_corpus_mix,
+        "semdedup": q_semdedup,
+        "semdedup_containment": q_semdedup_containment,
     }
 
 
@@ -2691,4 +2758,10 @@ FROM documents
         "normalize": normalize_sql,
         "url_blocklist": url_blocklist_sql,
         "corpus_mix": corpus_mix_sql,
+        # semdedup: rows-only by design (float k-means); its exactness
+        # gate is the empty-relation containment twin below
+        "semdedup_containment": """
+SELECT CAST(NULL AS BIGINT) AS orig_id, CAST(NULL AS BIGINT) AS twin_id
+WHERE 1 = 0
+""",
     }

@@ -317,6 +317,55 @@ def _assign_lists(
     return df.mapInPandas(assign, out_schema)
 
 
+def train_centroids(
+    df: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    iters: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> list[list[float]]:
+    """Deterministic coarse k-means centroids (shared by ``ivf_topk``
+    and ``semantic_dedup``): seeds are the ``n_lists`` corpus vectors
+    with smallest ``xxhash64(id, seed)`` (an order-free pseudo-random
+    sample), refined with ``iters`` distributed Lloyd steps — the
+    per-list mean is one aggregation of n_lists × dim scalars; the
+    corpus never shuffles (assignment is a matmul per Arrow batch)."""
+    seeds = (
+        df.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_lists)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [list(r[vec_col]) for r in seeds]
+
+    for _ in range(max(iters, 0)):
+        assigned = _assign_lists(df, centroids, vec_col, "_lists", nprobe=1)
+        assigned = assigned.select(
+            F.col(vec_col).alias("vec"),
+            F.element_at("_lists", 1).alias("list_id"),
+        )
+        sums = (
+            assigned.groupBy("list_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("vec", i + 1).cast("double")).alias(
+                        f"s{i}"
+                    )
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new_c = list(centroids)  # empty lists keep their old centroid
+        for r in sums:
+            new_c[r["list_id"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+        centroids = new_c
+    return centroids
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -346,43 +395,15 @@ def ivf_topk(
     search join moves only rows in probed lists (≈ nprobe/n_lists of
     the corpus per query batch). Returns (query_id, vec_id, sim, rank).
     """
-    import numpy as np
-
     from pyspark.sql import Window
 
     base = df.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     )
-    seeds = (
-        base.orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)))
-        .limit(n_lists)
-        .select("vec")
-        .collect()
+    centroids = train_centroids(
+        base, dim, n_lists=n_lists, iters=iters, seed=seed,
+        id_col="vec_id", vec_col="vec",
     )
-    centroids = [list(r["vec"]) for r in seeds]
-
-    for _ in range(max(iters, 0)):
-        assigned = _assign_lists(base, centroids, "vec", "_lists", nprobe=1)
-        assigned = assigned.select(
-            "vec", F.element_at("_lists", 1).alias("list_id")
-        )
-        sums = (
-            assigned.groupBy("list_id")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.element_at("vec", i + 1).cast("double")).alias(
-                        f"s{i}"
-                    )
-                    for i in range(dim)
-                ],
-            )
-            .collect()
-        )
-        new_c = list(centroids)  # empty lists keep their old centroid
-        for r in sums:
-            new_c[r["list_id"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
-        centroids = new_c
 
     corpus = _assign_lists(base, centroids, "vec", "_lists", nprobe=1).select(
         "vec_id", "vec", F.element_at("_lists", 1).alias("list_id")
