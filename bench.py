@@ -236,7 +236,8 @@ def main() -> None:
         "dedup_clusters", "repetition_profile", "pii_scan", "decontam",
         "line_dedup", "sessionize", "unigram_logprob", "url_features",
         "chunk_documents", "pack_chunks", "keywords", "html_profile",
-        "gopher_quality", "c4_filters",
+        "gopher_quality", "c4_filters", "normalize", "url_blocklist",
+        "corpus_mix", "semdedup",
     ]
     queries = entrymod.queries()
     from py_schemax_spark.operators.dedup import (
