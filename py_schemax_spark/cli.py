@@ -96,6 +96,41 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--json", dest="use_json", action="store_true",
                    help="JSON-lines output")
 
+    cu = sub.add_parser(
+        "curate",
+        help="run the web-corpus curation pipeline over a parquet table "
+             "(blocklist -> normalize -> quality -> line dedup -> exact "
+             "dedup -> near dedup -> mix)",
+    )
+    cu.add_argument("table", help="input table (parquet path / warc: URI)")
+    cu.add_argument("--out", required=True, metavar="DIR",
+                    help="output dir: curated/ parquet + report.json")
+    cu.add_argument("--key-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--lang-col", default="lang")
+    cu.add_argument("--url-col", default=None,
+                    help="URL column (required for the blocklist stage)")
+    cu.add_argument("--blocklist", default=None, metavar="FILE",
+                    help="blocked domains, one per line")
+    cu.add_argument("--pattern-rule", action="append", default=[],
+                    metavar="NAME=REGEX",
+                    help="ordered URL pattern rule (repeatable)")
+    cu.add_argument("--steps", default=None,
+                    help="comma list of stages to run (default: all "
+                         "applicable)")
+    cu.add_argument("--budget", action="append", default=[],
+                    metavar="LANG=TOKENS",
+                    help="per-language token budget for the mix stage "
+                         "(repeatable)")
+    cu.add_argument("--default-budget", type=int, default=0,
+                    help="token budget for languages without --budget")
+    cu.add_argument("--min-line-docs", type=int, default=10)
+    cu.add_argument("--jaccard-threshold", type=float, default=0.8)
+    cu.add_argument("--no-report", action="store_true",
+                    help="skip per-stage counting (fully lazy plan)")
+    cu.add_argument("--json", dest="use_json", action="store_true")
+    cu.add_argument("--master", default=None)
+
     v = sub.add_parser("validate", help="validate table(s) against a spec")
     v.add_argument("tables", nargs="*", help="parquet table paths (or stdin)")
     v.add_argument("--spec", required=True, help="constraint spec file")
@@ -268,12 +303,104 @@ def diff_main(ns) -> int:
     return 1 if breaking else 0
 
 
+def curate_main(ns, spark=None) -> int:
+    """``curate TABLE --out DIR``: the composed curation pipeline.
+    Writes ``DIR/curated`` (parquet) + ``DIR/report.json``; prints one
+    line per stage. Exit 2 on config errors, 0 otherwise."""
+    import json as _json
+    from pathlib import Path as _P
+
+    from py_schemax_spark.curate import STAGES, CurationConfig, run_curation
+
+    budgets = {}
+    for b in ns.budget:
+        lang, sep, tok = b.partition("=")
+        if not sep or not tok.lstrip("-").isdigit():
+            print(f"error: bad --budget {b!r} (want LANG=TOKENS)",
+                  file=sys.stderr)
+            return 2
+        budgets[lang] = int(tok)
+    rules = []
+    for r in ns.pattern_rule:
+        name, sep, pat = r.partition("=")
+        if not sep or not name:
+            print(f"error: bad --pattern-rule {r!r} (want NAME=REGEX)",
+                  file=sys.stderr)
+            return 2
+        rules.append((name, pat))
+    try:
+        cfg = CurationConfig(
+            key_col=ns.key_col,
+            text_col=ns.text_col,
+            lang_col=ns.lang_col,
+            url_col=ns.url_col,
+            steps=tuple(
+                s.strip() for s in ns.steps.split(",") if s.strip()
+            ) if ns.steps else STAGES,
+            pattern_rules=rules,
+            min_line_docs=ns.min_line_docs,
+            jaccard_threshold=ns.jaccard_threshold,
+            budgets=budgets,
+            default_budget=ns.default_budget,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    if ns.blocklist and not ns.url_col:
+        print("error: --blocklist requires --url-col", file=sys.stderr)
+        return 2
+
+    own_spark = spark is None
+    if own_spark:
+        from py_schemax_spark.session import get_spark
+
+        spark = get_spark(master=ns.master)
+    try:
+        df = read_table(spark, ns.table)
+        blocked = None
+        if ns.blocklist:
+            doms = [
+                ln.strip()
+                for ln in open(ns.blocklist, encoding="utf-8")
+                if ln.strip() and not ln.startswith("#")
+            ]
+            blocked = spark.createDataFrame(
+                [(d,) for d in doms], "domain string"
+            )
+        curated, rep = run_curation(
+            df, cfg, blocked_domains=blocked, report=not ns.no_report
+        )
+        out_dir = _P(ns.out)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        curated.write.mode("overwrite").parquet(str(out_dir / "curated"))
+        rep["table"] = ns.table
+        with open(out_dir / "report.json", "w") as f:
+            _json.dump(rep, f, indent=1)
+        if ns.use_json:
+            print(_json.dumps(rep))
+        else:
+            for stage, io in rep["stages"].items():
+                print(f"✂️  {stage}: {io['in']} -> {io['out']}")
+            print(f"curated table: {out_dir / 'curated'}")
+        from py_schemax_spark.operators.dedup import (
+            release_all_intermediates,
+        )
+
+        release_all_intermediates()
+        return 0
+    finally:
+        if own_spark:
+            spark.stop()
+
+
 def main(argv: Optional[list[str]] = None, spark=None) -> int:
     ns = build_parser().parse_args(argv)
     if ns.command == "check-specs":
         return check_specs_main(ns)
     if ns.command == "diff":
         return diff_main(ns)
+    if ns.command == "curate":
+        return curate_main(ns, spark=spark)
     try:
         cfg = resolve_config(
             {

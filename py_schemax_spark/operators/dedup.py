@@ -959,15 +959,18 @@ def dedup_clusters(
     key_col: str = "doc_id",
     src: str = "key_a",
     dst: str = "key_b",
+    passthrough: bool = False,
 ) -> DataFrame:
     """Cluster assignment for every document: docs reached by a
     duplicate pair get their component's min key as ``cluster_id``;
     untouched docs are their own singleton cluster. ``is_survivor``
     marks the one kept doc per cluster (the min key). The anti-join
     side never shuffles full rows — components is a tiny (nodes-in-
-    pairs)-sized table and broadcasts."""
+    pairs)-sized table and broadcasts. ``passthrough=True`` carries
+    every input column (the broadcast join keeps it shuffle-free)."""
     comp = connected_components(pairs, src=src, dst=dst)
-    keyed = df.select(F.col(key_col))
+    base_cols = list(df.columns) if passthrough else [key_col]
+    keyed = df.select(*[F.col(x) for x in base_cols])
     out = (
         keyed.join(
             F.broadcast(comp.withColumnRenamed("node", key_col)),
@@ -975,7 +978,7 @@ def dedup_clusters(
             "left",
         )
         .select(
-            key_col,
+            *base_cols,
             F.coalesce("component", F.col(key_col)).alias("cluster_id"),
         )
         .withColumn(

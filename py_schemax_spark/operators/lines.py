@@ -69,9 +69,11 @@ def remove_boilerplate(
     key_col: str = "doc_id",
     min_docs: int = 10,
     max_broadcast_lines: int = 5_000_000,
+    passthrough: bool = False,
 ) -> DataFrame:
     """Per-document boilerplate removal: returns
-    ``(key_col, clean_text, n_lines, n_removed)`` for every input row.
+    ``(key_col, clean_text, n_lines, n_removed)`` for every input row
+    (plus every other input column when ``passthrough=True``).
 
     ``clean_text``: the document with boilerplate lines (see module
     contract) dropped, order preserved; '' if everything was removed;
@@ -122,8 +124,10 @@ def remove_boilerplate(
             F.transform(F.array_sort("_kept"), lambda x: x["line"]), "\n"
         ).alias("_clean"),
     )
+    base_cols = list(df.columns) if passthrough else [key_col]
     base = df.select(
-        F.col(key_col), F.col(text_col).isNotNull().alias("_has_text")
+        *[F.col(x) for x in base_cols],
+        F.col(text_col).isNotNull().alias("_has_text"),
     )
     # eqNullSafe: a plain equality would never match a null key, so a
     # null-key document's text would silently come back as '' — null
@@ -132,7 +136,7 @@ def remove_boilerplate(
         cleaned, base[key_col].eqNullSafe(cleaned["_k"]), "left"
     )
     result = out.select(
-        F.col(key_col),
+        *[base[x] for x in base_cols],
         F.when(F.col("_has_text"), F.coalesce("_clean", F.lit(""))).alias(
             "clean_text"
         ),

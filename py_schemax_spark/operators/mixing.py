@@ -49,10 +49,12 @@ def sample_to_token_budget(
     text_col: str = "text",
     key_col: str = "doc_id",
     default_budget: int = 0,
+    passthrough: bool = False,
 ) -> DataFrame:
     """Per-document mixture verdict: ``(key_col, group_col, n_tokens,
     cum_before, kept)`` for every input row (callers filter on
-    ``kept``)."""
+    ``kept``). ``passthrough=True`` carries every input column through
+    the range exchange instead (heavier shuffle payload, one pass)."""
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
@@ -65,8 +67,9 @@ def sample_to_token_budget(
     n_tokens = F.coalesce(
         F.regexp_count(F.col(text_col), F.lit(NON_WS_RUN)), F.lit(0)
     )
+    base_cols = list(df.columns) if passthrough else [key_col]
     base = df.select(
-        F.col(key_col),
+        *[F.col(x) for x in base_cols],
         # group values travel as strings (budgets keys are strings and
         # the broadcast offset table needs one concrete type)
         F.col(group_col).cast("string").alias("_grp"),
@@ -119,8 +122,13 @@ def sample_to_token_budget(
             & F.col("_grp").eqNullSafe(F.col("_ogrp")),
         )
         .select(
-            F.col(key_col),
-            F.col("_grp").alias(group_col),
+            *(
+                [F.col(x) for x in base_cols]
+                if passthrough
+                # non-passthrough keeps the (stringified) group value
+                # as its own output column
+                else [F.col(key_col), F.col("_grp").alias(group_col)]
+            ),
             F.col("n_tokens"),
             cum.alias("cum_before"),
             (cum < budget).alias("kept"),

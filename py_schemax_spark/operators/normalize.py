@@ -81,17 +81,19 @@ def normalize_text(
     df: DataFrame,
     text_col: str = "text",
     key_col: str = "doc_id",
+    passthrough: bool = False,
 ) -> DataFrame:
     """Per-document normalized text: ``(key_col, norm_text, n_raw,
     n_norm, changed)``.
 
     ``n_raw``/``n_norm`` are character counts before/after (null for
-    null text); ``changed`` is false for null text.
-    """
+    null text); ``changed`` is false for null text. ``passthrough``
+    carries every input column through (still one projection)."""
     c = F.col(text_col)
     norm = normalize_expr(c)
+    base = list(df.columns) if passthrough else [key_col]
     return df.select(
-        F.col(key_col),
+        *[F.col(x) for x in base],
         norm.alias("norm_text"),
         F.length(c).alias("n_raw"),
         F.length(norm).alias("n_norm"),

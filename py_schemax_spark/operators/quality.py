@@ -99,8 +99,14 @@ def gopher_profile(
     max_ellipsis_bp: int = 3000,
     min_alpha_bp: int = 8000,
     min_stop_hits: int = 2,
+    passthrough: bool = False,
 ) -> DataFrame:
     """Gopher quality-rule signals + per-rule flags + combined verdict.
+
+    ``passthrough=True`` carries EVERY input column through instead of
+    just the key — the whole computation stays one projection, so a
+    curation pipeline can filter on ``gopher_pass`` without a join
+    back (used by :mod:`py_schemax_spark.curate`).
 
     Output columns (one row per input row; null text → null signals,
     ``gopher_pass = false``):
@@ -124,10 +130,11 @@ def gopher_profile(
     # match at the same position, so the alternation count equals the
     # per-word sum, in 1 regex scan instead of len(stop set) scans
     stop_pat = " (" + "|".join(GOPHER_STOPWORDS) + ") "
+    base = list(df.columns) if passthrough else [key_col]
     # stage 1: raw counts as named columns so stage 2 can use `div`
     # (exact integral division needs SQL-text operands)
     raw = df.select(
-        F.col(key_col),
+        *[F.col(x) for x in base],
         F.regexp_count(c, F.lit(WORD_RE)).alias("_n_words"),
         # long BEFORE the ×100: a >21M-char doc would wrap 32-bit here
         F.length(F.regexp_replace(c, WS_CHAR_RE, ""))
@@ -145,7 +152,7 @@ def gopher_profile(
         ),
     )
     sig = raw.select(
-        F.col(key_col),
+        *[F.col(x) for x in base],
         F.col("_n_words").cast("long").alias("n_words"),
         F.when(
             F.col("_n_words") > 0,
@@ -185,8 +192,11 @@ def c4_profile(
     text_col: str = "text",
     key_col: str = "doc_id",
     min_sentences: int = 3,
+    passthrough: bool = False,
 ) -> DataFrame:
     """C4-style page filters as one codegen'd projection.
+    ``passthrough=True``: every input column rides along (see
+    :func:`gopher_profile`).
 
     ``(key, n_sentences, terminal_line_bp, has_lorem_ipsum, has_curly,
     has_javascript, has_bad_phrase, c4_keep)`` — drop pages with
@@ -211,8 +221,9 @@ def c4_profile(
     for p in C4_BAD_PHRASES:
         h = lc.contains(p)
         bad = h if bad is None else bad | h
+    base = list(df.columns) if passthrough else [key_col]
     raw = df.select(
-        F.col(key_col),
+        *[F.col(x) for x in base],
         F.regexp_count(c, F.lit(SENTENCE_RE)).alias("_n_sentences"),
         (F.regexp_count(c, F.lit(r"\n")) + F.lit(1)).alias("_n_lines"),
         F.regexp_count(sent, F.lit(TERMINAL_LINE_RE)).alias("_terminal"),
@@ -229,7 +240,7 @@ def c4_profile(
         & F.coalesce(F.col("_n_sentences") >= min_sentences, F.lit(False))
     )
     return raw.select(
-        F.col(key_col),
+        *[F.col(x) for x in base],
         F.col("_n_sentences").cast("long").alias("n_sentences"),
         _div_bp("_terminal", "_n_lines").alias("terminal_line_bp"),
         "has_lorem_ipsum",

@@ -61,9 +61,12 @@ def block_urls(
     pattern_rules: list[tuple[str, str]] | None = None,
     max_labels: int = 6,
     max_broadcast_domains: int = 5_000_000,
+    passthrough: bool = False,
 ) -> DataFrame:
     """Per-document block verdict: ``(key_col, host, blocked,
-    reason)``.
+    reason)`` — or every input column plus the verdict columns when
+    ``passthrough=True`` (the plan stays broadcast-joins-only either
+    way, so a curation pipeline filters without a join back).
 
     ``blocked_domains`` needs one string column ``domain`` (lowercase,
     no scheme). ``reason`` is ``'domain:<matched suffix>'`` for the
@@ -89,12 +92,12 @@ def block_urls(
         )
 
     url = F.col(url_col)
+    base_cols = list(df.columns) if passthrough else [key_col, url_col]
     # materialize host + split labels as real columns BEFORE slicing:
     # a HOF/slice over a computed child is re-evaluated per element
     # (SURVEY §7); attribute references are evaluated once
     base = df.select(
-        F.col(key_col),
-        url.alias("_url"),
+        *[F.col(x) for x in dict.fromkeys(base_cols)],
         url_host(url).alias("host"),
     ).withColumn("_labels", F.split(F.col("host"), r"\."))
 
@@ -115,7 +118,7 @@ def block_urls(
     pattern_reason = None
     for name, pat in pattern_rules or []:
         hit = F.when(
-            F.col("_url").rlike(pat), F.lit(f"pattern:{name}")
+            F.col(url_col).rlike(pat), F.lit(f"pattern:{name}")
         )
         pattern_reason = (
             hit if pattern_reason is None else F.coalesce(pattern_reason, hit)
@@ -125,8 +128,11 @@ def block_urls(
     if pattern_reason is not None:
         reasons.append(pattern_reason)
     reason = F.coalesce(*reasons) if len(reasons) > 1 else reasons[0]
+    keep = (
+        [F.col(x) for x in df.columns] if passthrough else [F.col(key_col)]
+    )
     return out.select(
-        F.col(key_col),
+        *keep,
         F.col("host"),
         reason.isNotNull().alias("blocked"),
         reason.alias("reason"),

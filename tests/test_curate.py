@@ -1,0 +1,140 @@
+import json
+
+import pytest
+
+from py_schemax_spark.curate import CurationConfig, run_curation
+
+def _text(i: int) -> str:
+    """A gopher/c4-passing document UNIQUE to doc ``i`` — every doc is
+    one distinct line, so the line-dedup stage only ever removes the
+    explicitly planted BOILER line (a corpus where many docs share
+    their whole text AS A LINE would correctly be gutted by CCNet-rule
+    line dedup — that's the operator working, not a test scenario)."""
+    return " ".join(
+        f"the quick brown fox{i} saw item{i}x{j} and jumped over many "
+        f"lazy dogs today."
+        for j in range(8)
+    )
+
+
+BOILER = "subscribe to our newsletter"
+NEAR_DUP = _text(0).replace("today", "tonight", 1)
+
+
+def _corpus(spark):
+    rows = [
+        # survivors
+        (0, "https://good.example.org/a", _text(0), "en"),
+        (1, "https://good.example.org/b", _text(1), "en"),
+        # blocked domain
+        (2, "https://spam.bad.site/x", _text(2), "en"),
+        # low quality (short, curly braces)
+        (3, "https://good.example.org/c", "tiny {code} text.", "en"),
+        # exact duplicate of 0 (later key loses)
+        (4, "https://good.example.org/d", _text(0), "en"),
+        # near duplicate of 0
+        (5, "https://good.example.org/e", NEAR_DUP, "en"),
+        # boilerplate line planted in three distinct good docs
+        (6, "https://good.example.org/f", _text(6) + "\n" + BOILER, "en"),
+        (7, "https://good.example.org/g", _text(7) + "\n" + BOILER, "en"),
+        (8, "https://good.example.org/h", _text(8) + "\n" + BOILER, "en"),
+        # wrong language (mix stage drops: no budget)
+        (9, "https://good.example.org/i", _text(9), "de"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, url string, text string, lang string"
+    )
+
+
+def test_run_curation_end_to_end(spark):
+    bl = spark.createDataFrame([("bad.site",)], "domain string")
+    cfg = CurationConfig(
+        url_col="url",
+        min_line_docs=3,
+        jaccard_threshold=0.8,
+        budgets={"en": 10**9},
+    )
+    curated, rep = run_curation(_corpus(spark), cfg, blocked_domains=bl)
+    rows = {r["doc_id"]: r for r in curated.collect()}
+
+    # blocked: 2; quality: 3; exact dup: 4; near dup: 5; lang: 9
+    assert set(rows) == {0, 1, 6, 7, 8}
+    # boilerplate line removed, body survives
+    for i in (6, 7, 8):
+        assert BOILER not in rows[i]["text"]
+        assert "newsletter" not in rows[i]["text"]
+    assert rows[0]["text"] == _text(0)  # untouched text round-trips
+
+    st = rep["stages"]
+    assert st["blocklist"] == {"in": 10, "out": 9}
+    assert st["quality"]["out"] == st["quality"]["in"] - 1
+    assert st["exact_dedup"]["out"] == st["exact_dedup"]["in"] - 1
+    assert st["near_dedup"]["out"] == st["near_dedup"]["in"] - 1
+    assert st["mix"]["out"] == st["mix"]["in"] - 1
+    assert rep["enabled"][0] == "blocklist"
+
+
+def test_run_curation_no_report_skips_counts_and_is_equal(spark):
+    bl = spark.createDataFrame([("bad.site",)], "domain string")
+    cfg = CurationConfig(
+        url_col="url",
+        min_line_docs=3,
+        budgets={"en": 10**9},
+    )
+    curated, rep = run_curation(
+        _corpus(spark), cfg, blocked_domains=bl, report=False
+    )
+    assert rep["stages"] == {}
+    assert sorted(r["doc_id"] for r in curated.collect()) == [0, 1, 6, 7, 8]
+
+
+def test_run_curation_skips_inapplicable_stages(spark):
+    # no blocklist/url, no budgets: those stages silently drop out
+    cfg = CurationConfig(steps=("blocklist", "quality", "mix"))
+    curated, rep = run_curation(
+        _corpus(spark).select("doc_id", "text", "lang"), cfg
+    )
+    assert rep["enabled"] == ["quality"]
+    assert rep["stages"].keys() == {"quality"}
+
+
+def test_curation_config_rejects_unknown_step():
+    with pytest.raises(ValueError, match="unknown curation steps"):
+        CurationConfig(steps=("normalize", "frobnicate"))
+
+
+def test_curate_cli_end_to_end(spark, tmp_path):
+    from py_schemax_spark.cli import main
+
+    src = str(tmp_path / "corpus")
+    _corpus(spark).write.parquet(src)
+    bl = tmp_path / "blocklist.txt"
+    bl.write_text("# comment\nbad.site\n")
+    out = str(tmp_path / "out")
+    rc = main(
+        [
+            "curate", src, "--out", out,
+            "--url-col", "url", "--blocklist", str(bl),
+            "--min-line-docs", "3", "--budget", "en=1000000000",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    rep = json.loads((tmp_path / "out" / "report.json").read_text())
+    assert rep["stages"]["blocklist"] == {"in": 10, "out": 9}
+    back = spark.read.parquet(out + "/curated")
+    assert sorted(r["doc_id"] for r in back.collect()) == [0, 1, 6, 7, 8]
+    assert sorted(back.columns) == ["doc_id", "lang", "text", "url"]
+
+
+def test_curate_cli_bad_budget_exits_2(spark, tmp_path):
+    from py_schemax_spark.cli import main
+
+    src = str(tmp_path / "c2")
+    _corpus(spark).write.parquet(src)
+    rc = main(
+        ["curate", src, "--out", str(tmp_path / "o2"),
+         "--budget", "en=lots"],
+        spark=spark,
+    )
+    assert rc == 2
