@@ -1373,6 +1373,34 @@ def q_normalize(spark, sf_dir):
     return normalize_text(planted)
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail quality bucketing: per-language
+    token mass cut into thirds by unigram-logprob order. The score is
+    QUANTIZED to an integer (round(logprob·10⁴)) before ordering —
+    logprob itself is oracled 4-dp-exact, so the quantized order (and
+    with it every running-sum bucket boundary) is engine-identical.
+    Two-level prefix sum, no language-wide window."""
+    from py_schemax_spark.operators.mixing import perplexity_buckets
+    from py_schemax_spark.operators.textstats import (
+        unigram_logprob_scores,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    scored = unigram_logprob_scores(
+        d, text_col="text", key_col="doc_id", top_k=50, passthrough=True
+    ).withColumn(
+        "score_x1e4",
+        F.expr("cast(round(logprob * 10000) as bigint)"),
+    )
+    return perplexity_buckets(
+        scored.select("doc_id", "lang", "text", "score_x1e4"),
+        score_col="score_x1e4",
+        group_col="lang",
+        text_col="text",
+        key_col="doc_id",
+    )
+
+
 def q_url_blocklist(spark, sf_dir):
     """Domain-blocklist + pattern-rule filtering via the bounded
     broadcast-join suffix ladder (zero corpus exchanges). URLs and the
@@ -1570,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "semdedup": q_semdedup,
         "semdedup_containment": q_semdedup_containment,
+        "ccnet_buckets": q_ccnet_buckets,
     }
 
 
@@ -2361,6 +2390,46 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN scored s USING (doc_id)
 """
 
+    # ccnet buckets: the unigram-logprob oracle runs as a nested CTE;
+    # ordering/bucket math uses the quantized integer score + the same
+    # null-sorts-worst sentinel as the engine (Spark and DuckDB
+    # disagree on bare null ordering)
+    ccnet_buckets_sql = (
+        "WITH u AS ("
+        + unigram_logprob_sql
+        + r"""),
+s AS (
+  SELECT d.doc_id, d.lang,
+         CAST(round(u.logprob * 10000) AS BIGINT) AS score_x1e4,
+         CAST(coalesce(len(regexp_extract_all(d.text, '[^ \t\n\r\f]+')),
+                       0) AS INT) AS n_tokens
+  FROM documents d JOIN u USING (doc_id)
+),
+o AS (
+  SELECT *, coalesce(-score_x1e4, 4611686018427387904) AS s2 FROM s
+),
+c AS (
+  SELECT *,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY s2, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before,
+         sum(n_tokens) OVER (PARTITION BY lang) AS gtot
+  FROM o
+),
+b AS (
+  SELECT *,
+         CAST(CASE WHEN gtot > 0
+                   THEN least((3 * cum_before) // gtot, 2)
+                   ELSE 0 END AS INT) AS bucket_id
+  FROM c
+)
+SELECT doc_id, lang, score_x1e4, n_tokens, cum_before, bucket_id,
+       CASE bucket_id WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM b"""
+    )
+
     # url features: identical lookaround-free patterns (Java regex ↔
     # RE2), identical deterministic query-string suffix
     url_features_sql = r"""
@@ -2764,4 +2833,5 @@ FROM documents
 SELECT CAST(NULL AS BIGINT) AS orig_id, CAST(NULL AS BIGINT) AS twin_id
 WHERE 1 = 0
 """,
+        "ccnet_buckets": ccnet_buckets_sql,
     }

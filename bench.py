@@ -41,6 +41,10 @@ SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "8000000"))
 # rises, see BENCH.md)
 SCALE_WORDS = int(os.environ.get("SPARK_GRAFT_SCALE_WORDS_SCALE", "1"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+# scaling-only mode: skip the suite+query sections (extra scaling
+# samples for the BENCH.md run-distribution table without ~10 min of
+# query timings; BENCH_LATEST.json should come from a FULL run)
+SCALING_ONLY = os.environ.get("SPARK_GRAFT_SCALING_ONLY", "0") == "1"
 # N and 4N parallelism levels for the two-cluster-size criterion.
 # Default 2→8 (not 8→32): single-box DRAM bandwidth saturates around
 # 8 cores for scan-heavy phases, so 8→32 threads measures the memory
@@ -217,12 +221,13 @@ def main() -> None:
     # Protocol (same as the scaling section): one untimed warm-up run
     # (codegen, python workers, page cache — one-time session costs a
     # long-lived production job never re-pays), then best-of-3 trials.
-    run_validation_suite(spark, 50_000, baseline)  # warm-up
-    trials = [run_validation_suite(spark, BENCH_ROWS, baseline)
-              for _ in range(3)]
-    val = min(trials, key=lambda r: r["sec"])
-    val["trials_sec"] = [t["sec"] for t in trials]
-    out["validation"] = val
+    if not SCALING_ONLY:
+        run_validation_suite(spark, 50_000, baseline)  # warm-up
+        trials = [run_validation_suite(spark, BENCH_ROWS, baseline)
+                  for _ in range(3)]
+        val = min(trials, key=lambda r: r["sec"])
+        val["trials_sec"] = [t["sec"] for t in trials]
+        out["validation"] = val
 
     # representative per-query timings on the driver tables
     # (best-of-3 — the first execution of a plan pays one-time codegen)
@@ -257,7 +262,7 @@ def main() -> None:
             F.count("h"), F.min("h")
         ).collect()
 
-    for name in HEADLINE:
+    for name in HEADLINE if not SCALING_ONLY else []:
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -272,8 +277,9 @@ def main() -> None:
             unpersist_intermediates(df)
             release_all_intermediates()
         qtimes[name] = round(best, 3)
-    out["queries"] = qtimes
-    out["value"] = round(val["sec"] + sum(qtimes.values()), 3)
+    if not SCALING_ONLY:
+        out["queries"] = qtimes
+        out["value"] = round(val["sec"] + sum(qtimes.values()), 3)
     if RUN_SCALING:
         # generate the scaling tables + baseline under THIS
         # full-parallelism session — datagen at local[2] would take
@@ -345,7 +351,10 @@ def main() -> None:
         }
         scaling["efficiency_median"] = round(med_n / (4 * med_4n), 3)
         out["scaling"] = scaling
-        _write_bench_md(out)
+        if not SCALING_ONLY:
+            # distribution samples must not overwrite the canonical
+            # BENCH.md of the last FULL run
+            _write_bench_md(out)
 
     print(json.dumps(out))
 

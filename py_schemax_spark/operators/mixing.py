@@ -42,6 +42,76 @@ from pyspark.sql import functions as F
 from py_schemax_spark.operators.chunking import NON_WS_RUN
 
 
+def grouped_exclusive_cumsum(
+    base: DataFrame,
+    order_cols: list[str],
+    key_col: str,
+    group_col: str = "_grp",
+    value_col: str = "n_tokens",
+):
+    """The scalable per-group exclusive running sum shared by
+    :func:`sample_to_token_budget` and ``perplexity_buckets`` — range
+    exchange on (group, order, key) → partition-local window →
+    per-(partition, group) totals collected (bounded rows) → exclusive
+    offsets broadcast back. NOT ``Window.partitionBy(group)``: a
+    handful of group-sized partitions puts the largest group on one
+    task.
+
+    ``base`` must already carry ``group_col``/``order_cols``/
+    ``value_col``/``key_col``. Returns ``(with_cum, group_totals,
+    pinned)``: ``with_cum`` = ``base`` columns + ``cum_before``;
+    ``group_totals`` maps group value → total of ``value_col``;
+    ``pinned`` = intermediates for the caller's release registry.
+    Boundary-invariant: the result does not depend on where the range
+    partitioning cut, so a single SQL window is the exact oracle."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    order = [F.col(c) for c in order_cols]
+    ranged = base.repartitionByRange(
+        F.col(group_col), *order, F.col(key_col)
+    ).withColumn("_pid", F.spark_partition_id())
+    # persist pins _pid to ONE materialized partitioning for both the
+    # local-sum branch and the totals branch (AQE cannot re-plan them
+    # apart once the blocks exist)
+    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    wlocal = (
+        Window.partitionBy("_pid", group_col)
+        .orderBy(*order, F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "_local", F.coalesce(F.sum(value_col).over(wlocal), F.lit(0))
+    )
+    totals = (
+        ranged.groupBy("_pid", group_col)
+        .agg(F.sum(value_col).alias("_tot"))
+        .collect()
+    )
+    running: dict[object, int] = {}
+    offsets = []
+    for r in sorted(
+        totals,
+        key=lambda r: (r[group_col] is not None, r[group_col], r["_pid"]),
+    ):
+        g = r[group_col]
+        offsets.append((r["_pid"], g, running.get(g, 0)))
+        running[g] = running.get(g, 0) + (r["_tot"] or 0)
+    off_df = base.sparkSession.createDataFrame(
+        offsets, "_opid int, _ogrp string, _off bigint"
+    )
+    with_cum = (
+        local.join(
+            F.broadcast(off_df),
+            (F.col("_pid") == F.col("_opid"))
+            & F.col(group_col).eqNullSafe(F.col("_ogrp")),
+        )
+        .withColumn("cum_before", F.col("_local") + F.col("_off"))
+        .drop("_opid", "_ogrp", "_off", "_local", "_pid")
+    )
+    return with_cum, running, [ranged]
+
+
 def sample_to_token_budget(
     df: DataFrame,
     budgets: dict[str, int],
@@ -55,9 +125,6 @@ def sample_to_token_budget(
     cum_before, kept)`` for every input row (callers filter on
     ``kept``). ``passthrough=True`` carries every input column through
     the range exchange instead (heavier shuffle payload, one pass)."""
-    from pyspark import StorageLevel
-    from pyspark.sql import Window
-
     for g, b in budgets.items():
         if b < 0:
             raise ValueError(f"negative budget for group {g!r}: {b}")
@@ -76,64 +143,121 @@ def sample_to_token_budget(
         F.md5(F.col(key_col).cast("string")).alias("_h"),
         n_tokens.alias("n_tokens"),
     )
-    # (1) order-contiguous partitions per group; (_grp, _h, key) is a
-    # total order (key unique per the engine's key contract). persist
-    # pins _pid to ONE materialized partitioning for both branches.
-    ranged = base.repartitionByRange(
-        F.col("_grp"), F.col("_h"), F.col(key_col)
-    ).withColumn("_pid", F.spark_partition_id())
-    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
-    # (2) partition-local exclusive running sum within the group
-    wlocal = (
-        Window.partitionBy("_pid", "_grp")
-        .orderBy(F.col("_h"), F.col(key_col))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = ranged.withColumn(
-        "_local", F.coalesce(F.sum("n_tokens").over(wlocal), F.lit(0))
-    )
-    # (3) per-(partition, group) totals -> exclusive group offsets
-    # (driver sees partitions x groups rows — bounded, never the data)
-    totals = (
-        ranged.groupBy("_pid", "_grp")
-        .agg(F.sum("n_tokens").alias("_tot"))
-        .collect()
-    )
-    running: dict[object, int] = {}
-    offsets = []
-    for r in sorted(
-        totals, key=lambda r: (r["_grp"] is not None, r["_grp"], r["_pid"])
-    ):
-        g = r["_grp"]
-        offsets.append((r["_pid"], g, running.get(g, 0)))
-        running[g] = running.get(g, 0) + (r["_tot"] or 0)
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        offsets, "_opid int, _ogrp string, _off bigint"
+    with_cum, _totals, pinned = grouped_exclusive_cumsum(
+        base, order_cols=["_h"], key_col=key_col
     )
     budget = F.lit(default_budget)
     for g, b in budgets.items():
         budget = F.when(F.col("_grp") == g, F.lit(int(b))).otherwise(budget)
-    cum = F.col("_local") + F.col("_off")
-    out = (
-        local.join(
-            F.broadcast(off_df),
-            (F.col("_pid") == F.col("_opid"))
-            & F.col("_grp").eqNullSafe(F.col("_ogrp")),
-        )
-        .select(
-            *(
-                [F.col(x) for x in base_cols]
-                if passthrough
-                # non-passthrough keeps the (stringified) group value
-                # as its own output column
-                else [F.col(key_col), F.col("_grp").alias(group_col)]
-            ),
-            F.col("n_tokens"),
-            cum.alias("cum_before"),
-            (cum < budget).alias("kept"),
-        )
+    out = with_cum.select(
+        *(
+            [F.col(x) for x in base_cols]
+            if passthrough
+            # non-passthrough keeps the (stringified) group value
+            # as its own output column
+            else [F.col(key_col), F.col("_grp").alias(group_col)]
+        ),
+        F.col("n_tokens"),
+        F.col("cum_before"),
+        (F.col("cum_before") < budget).alias("kept"),
     )
     from py_schemax_spark.operators.dedup import _track_persisted
 
-    return _track_persisted(out, [ranged])
+    return _track_persisted(out, pinned)
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "lang",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_buckets: int = 3,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    best_first_descending: bool = True,
+    passthrough: bool = False,
+) -> DataFrame:
+    """CCNet-style per-group quality bucketing (Wenzek et al. 2020
+    §4.4): order each group's documents by a quality score and cut the
+    group's TOKEN MASS into ``n_buckets`` equal parts — head/middle/
+    tail. Head buckets feed high-quality training mixes; tail buckets
+    get dropped or down-weighted.
+
+    ``score_col`` must be an INTEGER-exact quality score (e.g. a
+    quantized log-probability — ``round(logprob * 10⁴)``): float
+    scores sort differently across engines at ULP distance, and the
+    bucket boundary is a running sum over the sort order, so exactness
+    of the ORDER is what makes the single-window SQL oracle byte-exact.
+    ``best_first_descending``: higher score = better (log-prob
+    convention); ties break by key.
+
+    Returns ``(key, group, score, n_tokens, bucket_id, bucket)``:
+    ``bucket_id = n_buckets · cum_before // group_total`` (clamped) —
+    the bucket of the document's FIRST token in the group's ordered
+    token stream. Same two-level prefix-sum shape as
+    :func:`sample_to_token_budget`; one range exchange, no group-wide
+    window."""
+    if len(labels) != n_buckets:
+        raise ValueError(
+            f"{n_buckets} buckets need {n_buckets} labels, got {labels}"
+        )
+    n_tokens = F.coalesce(
+        F.regexp_count(F.col(text_col), F.lit(NON_WS_RUN)), F.lit(0)
+    )
+    base_cols = list(df.columns) if passthrough else [key_col]
+    score = F.col(score_col).cast("long")
+    # null score (e.g. token-less doc) sorts WORST in both directions —
+    # explicitly, because Spark orders nulls first ASC and DuckDB
+    # orders them last, so a bare null would break oracle parity
+    worst = F.lit(2**62)
+    order_score = (
+        F.coalesce(-score, worst).alias("_s")
+        if best_first_descending
+        else F.coalesce(score, worst).alias("_s")
+    )
+    base = df.select(
+        *[F.col(x) for x in base_cols],
+        F.col(group_col).cast("string").alias("_grp"),
+        order_score,
+        n_tokens.alias("n_tokens"),
+        *([] if passthrough else [score.alias("_score_out")]),
+    )
+    with_cum, totals, pinned = grouped_exclusive_cumsum(
+        base, order_cols=["_s"], key_col=key_col
+    )
+    spark = df.sparkSession
+    tot_df = spark.createDataFrame(
+        [(g, t) for g, t in totals.items()], "_tgrp string, _gtot bigint"
+    )
+    joined = with_cum.join(
+        F.broadcast(tot_df), F.col("_grp").eqNullSafe(F.col("_tgrp"))
+    )
+    bucket_id = F.when(
+        F.col("_gtot") > 0,
+        F.least(
+            F.expr(f"({n_buckets} * cum_before) div _gtot"),
+            F.lit(n_buckets - 1),
+        ),
+    ).otherwise(F.lit(0))
+    label = F.element_at(
+        F.array(*[F.lit(x) for x in labels]),
+        (bucket_id + 1).cast("int"),
+    )
+    out = joined.select(
+        *(
+            [F.col(x) for x in base_cols]
+            if passthrough
+            else [
+                F.col(key_col),
+                F.col("_grp").alias(group_col),
+                F.col("_score_out").alias(score_col),
+            ]
+        ),
+        F.col("n_tokens"),
+        F.col("cum_before"),
+        bucket_id.cast("int").alias("bucket_id"),
+        label.alias("bucket"),
+    )
+    from py_schemax_spark.operators.dedup import _track_persisted
+
+    return _track_persisted(out, pinned)

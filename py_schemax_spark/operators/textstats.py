@@ -243,6 +243,7 @@ def unigram_logprob_scores(
     text_col: str = "text",
     key_col: str = "doc_id",
     top_k: int = 50_000,
+    passthrough: bool = False,
 ) -> DataFrame:
     """Corpus-level unigram log-probability quality score — a cheap,
     dependency-free stand-in for the KenLM-perplexity filter of
@@ -327,8 +328,9 @@ def unigram_logprob_scores(
             out.append(s / len(toks) - ln_total)
         return pd.Series(out, dtype="float64")
 
+    base = list(df.columns) if passthrough else [key_col]
     result = df.select(
-        F.col(key_col),
+        *[F.col(x) for x in base],
         # codegen'd regexp arithmetic over the SAME explicit class, so
         # n_tokens counts exactly the tokens the score averaged; null
         # text → null (SQL twin: len of a null token list)

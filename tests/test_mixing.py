@@ -77,6 +77,64 @@ def test_mixing_partitioning_invariance(spark):
     assert a == b
 
 
+def _bk(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, score long"
+    )
+
+
+def test_perplexity_buckets_thirds_by_token_mass(spark):
+    from py_schemax_spark.operators.mixing import perplexity_buckets
+
+    # 9 docs x 4 tokens, scores 9..1 (best first): 36 tokens -> cuts
+    # at 12/24: docs ranked 1-3 head, 4-6 middle, 7-9 tail
+    rows = [(i, "en", "a b c d", 10 - i) for i in range(1, 10)]
+    out = {
+        r["doc_id"]: (r["bucket_id"], r["bucket"], r["cum_before"])
+        for r in perplexity_buckets(_bk(spark, rows), "score").collect()
+    }
+    assert [out[i][1] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    assert out[1][2] == 0 and out[4][2] == 12 and out[9][2] == 32
+
+
+def test_perplexity_buckets_per_group_and_nulls_worst(spark):
+    from py_schemax_spark.operators.mixing import perplexity_buckets
+
+    rows = [
+        (1, "en", "w w w", 100),
+        (2, "en", "w w w", 50),
+        (3, "en", "w w w", None),   # null score -> tail
+        (4, "de", "w w", 7),        # own group: alone -> head
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in perplexity_buckets(_bk(spark, rows), "score").collect()
+    }
+    assert out[1]["bucket"] == "head"
+    assert out[3]["bucket"] == "tail"
+    assert out[4]["bucket"] == "head" and out[4]["cum_before"] == 0
+
+
+def test_perplexity_buckets_ascending_mode_and_label_check(spark):
+    import pytest as _pytest
+
+    from py_schemax_spark.operators.mixing import perplexity_buckets
+
+    rows = [(1, "en", "a b", 5), (2, "en", "a b", 1)]
+    out = {
+        r["doc_id"]: r["bucket_id"]
+        for r in perplexity_buckets(
+            _bk(spark, rows), "score", n_buckets=2, labels=("lo", "hi"),
+            best_first_descending=False,
+        ).collect()
+    }
+    assert out[2] == 0 and out[1] == 1  # ascending: lowest score first
+    with _pytest.raises(ValueError, match="labels"):
+        perplexity_buckets(_bk(spark, rows), "score", n_buckets=2)
+
+
 def test_mixing_rejects_negative_budget(spark):
     df = _mk(spark, [(1, "en", "x")])
     with pytest.raises(ValueError, match="negative"):
