@@ -310,16 +310,23 @@ def curate_main(ns, spark=None) -> int:
     import json as _json
     from pathlib import Path as _P
 
-    from py_schemax_spark.curate import STAGES, CurationConfig, run_curation
+    from py_schemax_spark.curate import CurationConfig, run_curation
 
     budgets = {}
     for b in ns.budget:
         lang, sep, tok = b.partition("=")
-        if not sep or not tok.lstrip("-").isdigit():
-            print(f"error: bad --budget {b!r} (want LANG=TOKENS)",
-                  file=sys.stderr)
+        if not sep or not tok.isdigit():
+            print(
+                f"error: bad --budget {b!r} (want LANG=TOKENS, "
+                "non-negative integer)",
+                file=sys.stderr,
+            )
             return 2
         budgets[lang] = int(tok)
+    if ns.default_budget < 0:
+        print("error: --default-budget must be non-negative",
+              file=sys.stderr)
+        return 2
     rules = []
     for r in ns.pattern_rule:
         name, sep, pat = r.partition("=")
@@ -336,7 +343,7 @@ def curate_main(ns, spark=None) -> int:
             url_col=ns.url_col,
             steps=tuple(
                 s.strip() for s in ns.steps.split(",") if s.strip()
-            ) if ns.steps else STAGES,
+            ) if ns.steps else None,
             pattern_rules=rules,
             min_line_docs=ns.min_line_docs,
             jaccard_threshold=ns.jaccard_threshold,
@@ -367,9 +374,13 @@ def curate_main(ns, spark=None) -> int:
             blocked = spark.createDataFrame(
                 [(d,) for d in doms], "domain string"
             )
-        curated, rep = run_curation(
-            df, cfg, blocked_domains=blocked, report=not ns.no_report
-        )
+        try:
+            curated, rep = run_curation(
+                df, cfg, blocked_domains=blocked, report=not ns.no_report
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         out_dir = _P(ns.out)
         out_dir.mkdir(parents=True, exist_ok=True)
         curated.write.mode("overwrite").parquet(str(out_dir / "curated"))
@@ -387,6 +398,11 @@ def curate_main(ns, spark=None) -> int:
         )
 
         release_all_intermediates()
+        # the result is written — its own checkpoint blocks (kept out
+        # of the registry so a drain can't break the frame) can go too
+        final = getattr(curated, "_schemax_result_blocks", None)
+        if final is not None:
+            final.unpersist()
         return 0
     finally:
         if own_spark:

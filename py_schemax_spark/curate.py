@@ -55,7 +55,11 @@ class CurationConfig:
     text_col: str = "text"
     lang_col: str = "lang"
     url_col: str | None = None
-    steps: tuple[str, ...] = STAGES
+    # None = "all APPLICABLE stages" (inapplicable ones silently skip);
+    # an EXPLICIT tuple is strict — naming a stage whose configuration
+    # is missing raises, because silently skipping a curation stage the
+    # user asked for is a curation hole
+    steps: tuple[str, ...] | None = None
     pattern_rules: list[tuple[str, str]] = field(default_factory=list)
     min_line_docs: int = 10
     jaccard_threshold: float = 0.8
@@ -65,7 +69,7 @@ class CurationConfig:
     default_budget: int = 0
 
     def __post_init__(self):
-        unknown = set(self.steps) - set(STAGES)
+        unknown = set(self.steps or ()) - set(STAGES)
         if unknown:
             raise ValueError(
                 f"unknown curation steps {sorted(unknown)}; "
@@ -100,10 +104,23 @@ def run_curation(
 
     cfg = config or CurationConfig()
     k, t = cfg.key_col, cfg.text_col
-    steps = list(cfg.steps)
+    explicit = cfg.steps is not None
+    steps = list(cfg.steps if explicit else STAGES)
     if "blocklist" in steps and (blocked_domains is None or not cfg.url_col):
+        if explicit:
+            raise ValueError(
+                "steps explicitly include 'blocklist' but "
+                + ("no blocked_domains table was given"
+                   if blocked_domains is None
+                   else "url_col is not configured")
+            )
         steps.remove("blocklist")
     if "mix" in steps and not cfg.budgets and not cfg.default_budget:
+        if explicit:
+            raise ValueError(
+                "steps explicitly include 'mix' but no budgets / "
+                "default_budget are configured"
+            )
         steps.remove("mix")
 
     stats: dict[str, dict] = {}
@@ -112,6 +129,7 @@ def run_curation(
 
     cur = df
     n_in = df.count() if report else None
+    last_handle: list = []
 
     def _record(stage: str, out_frame: DataFrame) -> DataFrame:
         """Truncate lineage at the stage boundary (eager
@@ -119,7 +137,9 @@ def run_curation(
         reporting; blocks join the release registry."""
         nonlocal n_in
         cp = out_frame.localCheckpoint()
-        pinned.append(_CheckpointHandle(sc, _checkpoint_rdd_ids(cp)))
+        handle = _CheckpointHandle(sc, _checkpoint_rdd_ids(cp))
+        pinned.append(handle)
+        last_handle[:] = [handle]
         if report:
             n_out = cp.count()
             stats[stage] = {"in": n_in, "out": n_out}
@@ -219,4 +239,15 @@ def run_curation(
         "enabled": steps,
         "columns": in_cols,
     }
-    return _track_persisted(cur, pinned), rep
+    # the FINAL stage's checkpoint backs the returned frame itself —
+    # keep it OUT of the release registry (a registry drain would
+    # free blocks a LogicalRDD cannot recompute, permanently breaking
+    # the result). It rides on the result as `_schemax_result_blocks`
+    # for callers to release after their terminal action.
+    if last_handle:
+        pinned.remove(last_handle[0])
+    out = _track_persisted(cur, pinned)
+    out._schemax_result_blocks = (  # type: ignore[attr-defined]
+        last_handle[0] if last_handle else None
+    )
+    return out, rep

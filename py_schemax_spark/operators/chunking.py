@@ -135,8 +135,6 @@ def pack_chunks(
     answer. Token counts are codegen'd ``regexp_count`` arithmetic —
     the token array is never built.
     """
-    from pyspark.sql import Window
-
     order = order_col or key_col
     # token count = number of maximal non-delimiter runs — exactly the
     # chunker's split+filter tokens, as one codegen'd regexp count
@@ -146,57 +144,26 @@ def pack_chunks(
     )
     base = df.select(
         F.col(key_col),
+        # one constant group: the global prefix sum is the degenerate
+        # single-group case of the shared per-group machinery
+        F.lit("").alias("_grp"),
         F.col(order).alias("_ord"),
         n_tokens.alias("n_tokens"),
     )
-    # (1) order-contiguous partitions; (_ord, key) is a total order as
-    # long as key_col is unique per row (the engine's key contract)
-    ranged = base.repartitionByRange(F.col("_ord"), F.col(key_col))
-    ranged = ranged.withColumn("_pid", F.spark_partition_id())
-    # persist pins the partition ids: _pid must mean the SAME
-    # partitioning in the local-sum pass and the totals pass. The _pid
-    # values are computed INSIDE the cached plan, so both branches read
-    # them baked into the same materialized blocks — AQE cannot re-plan
-    # the exchange differently per branch the way it can when the two
-    # branches compile independently. (Round 3: was localCheckpoint,
-    # which pins an unreleasable RDD for the session lifetime — a leak
-    # per call; persist is registry-released like every other operator
-    # intermediate, and block-level recompute after executor loss is
-    # partition-local against the already-planned stage.)
-    from pyspark import StorageLevel
+    # lazy import: mixing imports this module's token contract
+    from py_schemax_spark.operators.mixing import grouped_exclusive_cumsum
 
-    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
-    # (2) partition-local exclusive running sum
-    wlocal = (
-        Window.partitionBy("_pid")
-        .orderBy(F.col("_ord"), F.col(key_col))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = ranged.withColumn(
-        "_local", F.coalesce(F.sum("n_tokens").over(wlocal), F.lit(0))
-    )
-    # (3) per-partition totals -> exclusive prefix offsets (driver
-    # sees one row per partition — bounded, never the data)
-    totals = (
-        ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))
-        .collect()
-    )
-    running = 0
-    offsets = []
-    for r in sorted(totals, key=lambda r: r["_pid"]):
-        offsets.append((r["_pid"], running))
-        running += r["_tot"] or 0
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "_pid int, _off bigint")
     budget = int(budget_tokens)
     if budget <= 0:
         raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    with_cum, _totals, pinned = grouped_exclusive_cumsum(
+        base, order_cols=["_ord"], key_col=key_col
+    )
     out = (
-        local.join(F.broadcast(off_df), "_pid")
-        .select(
+        with_cum.select(
             F.col(key_col),
             "n_tokens",
-            (F.col("_local") + F.col("_off")).alias("start_token"),
+            F.col("cum_before").alias("start_token"),
         )
         .select(
             F.col(key_col),
@@ -213,4 +180,4 @@ def pack_chunks(
     )
     from py_schemax_spark.operators.dedup import _track_persisted
 
-    return _track_persisted(out, [ranged])
+    return _track_persisted(out, pinned)

@@ -968,6 +968,15 @@ def dedup_clusters(
     side never shuffles full rows — components is a tiny (nodes-in-
     pairs)-sized table and broadcasts. ``passthrough=True`` carries
     every input column (the broadcast join keeps it shuffle-free)."""
+    if passthrough:
+        from py_schemax_spark.operators.common import (
+            check_passthrough_collisions,
+        )
+
+        check_passthrough_collisions(
+            df, ["cluster_id", "is_survivor", "component"],
+            "dedup_clusters",
+        )
     comp = connected_components(pairs, src=src, dst=dst)
     base_cols = list(df.columns) if passthrough else [key_col]
     keyed = df.select(*[F.col(x) for x in base_cols])

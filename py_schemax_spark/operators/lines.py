@@ -124,6 +124,17 @@ def remove_boilerplate(
             F.transform(F.array_sort("_kept"), lambda x: x["line"]), "\n"
         ).alias("_clean"),
     )
+    if passthrough:
+        from py_schemax_spark.operators.common import (
+            check_passthrough_collisions,
+        )
+
+        check_passthrough_collisions(
+            df,
+            ["clean_text", "n_lines", "n_removed", "_has_text", "_k",
+             "_hot", "_kept", "_clean", "line", "pos"],
+            "remove_boilerplate",
+        )
     base_cols = list(df.columns) if passthrough else [key_col]
     base = df.select(
         *[F.col(x) for x in base_cols],

@@ -130,6 +130,17 @@ def sample_to_token_budget(
             raise ValueError(f"negative budget for group {g!r}: {b}")
     if default_budget < 0:
         raise ValueError(f"negative default_budget: {default_budget}")
+    if passthrough:
+        from py_schemax_spark.operators.common import (
+            check_passthrough_collisions,
+        )
+
+        check_passthrough_collisions(
+            df,
+            ["n_tokens", "cum_before", "kept", "_grp", "_h", "_pid",
+             "_opid", "_ogrp", "_off", "_local"],
+            "sample_to_token_budget",
+        )
 
     n_tokens = F.coalesce(
         F.regexp_count(F.col(text_col), F.lit(NON_WS_RUN)), F.lit(0)
@@ -200,6 +211,32 @@ def perplexity_buckets(
     if len(labels) != n_buckets:
         raise ValueError(
             f"{n_buckets} buckets need {n_buckets} labels, got {labels}"
+        )
+    from pyspark.sql import types as T
+
+    dtype = df.schema[score_col].dataType
+    if not isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"perplexity_buckets: score column {score_col!r} is "
+            f"{dtype.simpleString()}, but the bucket contract needs an "
+            "INTEGER-exact score (float orderings diverge across "
+            "engines at ULP distance and every bucket boundary is a "
+            "running sum over that order) — quantize first, e.g. "
+            "cast(round(score * 10000) as bigint)"
+        )
+    if passthrough:
+        from py_schemax_spark.operators.common import (
+            check_passthrough_collisions,
+        )
+
+        check_passthrough_collisions(
+            df,
+            ["n_tokens", "cum_before", "bucket_id", "bucket", "_grp",
+             "_s", "_pid", "_opid", "_ogrp", "_off", "_local",
+             "_score_out", "_tgrp", "_gtot"],
+            "perplexity_buckets",
         )
     n_tokens = F.coalesce(
         F.regexp_count(F.col(text_col), F.lit(NON_WS_RUN)), F.lit(0)

@@ -89,6 +89,16 @@ def normalize_text(
     ``n_raw``/``n_norm`` are character counts before/after (null for
     null text); ``changed`` is false for null text. ``passthrough``
     carries every input column through (still one projection)."""
+    if passthrough:
+        from py_schemax_spark.operators.common import (
+            check_passthrough_collisions,
+        )
+
+        check_passthrough_collisions(
+            df,
+            ["norm_text", "n_raw", "n_norm", "changed"],
+            "normalize_text",
+        )
     c = F.col(text_col)
     norm = normalize_expr(c)
     base = list(df.columns) if passthrough else [key_col]

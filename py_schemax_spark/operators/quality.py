@@ -130,6 +130,23 @@ def gopher_profile(
     # match at the same position, so the alternation count equals the
     # per-word sum, in 1 regex scan instead of len(stop set) scans
     stop_pat = " (" + "|".join(GOPHER_STOPWORDS) + ") "
+    if passthrough:
+        from py_schemax_spark.operators.common import (
+            check_passthrough_collisions,
+        )
+
+        check_passthrough_collisions(
+            df,
+            ["n_words", "mean_word_len_x100", "symbol_bp", "n_lines",
+             "bullet_bp", "ellipsis_bp", "alpha_bp", "stop_hits",
+             "gopher_pass", "_n_words", "_word_chars", "_n_symbols",
+             "_n_lines", "_bullets", "_ellipses", "_alpha_words",
+             "_stop_hits"]
+            + ["flag_word_count", "flag_word_len", "flag_symbol",
+               "flag_bullet", "flag_ellipsis", "flag_alpha",
+               "flag_stopword"],
+            "gopher_profile",
+        )
     base = list(df.columns) if passthrough else [key_col]
     # stage 1: raw counts as named columns so stage 2 can use `div`
     # (exact integral division needs SQL-text operands)
@@ -221,6 +238,18 @@ def c4_profile(
     for p in C4_BAD_PHRASES:
         h = lc.contains(p)
         bad = h if bad is None else bad | h
+    if passthrough:
+        from py_schemax_spark.operators.common import (
+            check_passthrough_collisions,
+        )
+
+        check_passthrough_collisions(
+            df,
+            ["n_sentences", "terminal_line_bp", "has_lorem_ipsum",
+             "has_curly", "has_javascript", "has_bad_phrase", "c4_keep",
+             "_n_sentences", "_n_lines", "_terminal"],
+            "c4_profile",
+        )
     base = list(df.columns) if passthrough else [key_col]
     raw = df.select(
         *[F.col(x) for x in base],

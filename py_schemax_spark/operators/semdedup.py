@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from py_schemax_spark.operators.dedup import (
     _log_dropped_buckets,
     _track_persisted,
-    connected_components,
+    dedup_clusters,
 )
 from py_schemax_spark.operators.similarity import (
     _assign_lists,
@@ -139,20 +139,18 @@ def semantic_dedup(
     pairs = eligible.groupBy("list_id").applyInPandas(
         cluster_pairs, pair_schema
     )
-    comp = connected_components(pairs)
-    out = (
-        assigned.join(
-            F.broadcast(comp.withColumnRenamed("node", "vec_id")),
-            "vec_id",
-            "left",
-        )
-        .select(
-            F.col("vec_id").alias(id_col),
-            "list_id",
-            F.coalesce("component", F.col("vec_id")).alias("cluster_id"),
-        )
-        .withColumn("is_survivor", F.col(id_col) == F.col("cluster_id"))
+    # cluster assignment + min-id survivor selection is exactly
+    # dedup_clusters (passthrough keeps list_id riding along)
+    clustered = dedup_clusters(
+        assigned.select("vec_id", "list_id"),
+        pairs,
+        key_col="vec_id",
+        passthrough=True,
+    )
+    out = clustered.select(
+        F.col("vec_id").alias(id_col), "list_id", "cluster_id",
+        "is_survivor",
     )
     keep = [assigned]
-    keep.extend(getattr(comp, "_schemax_persisted", []))
+    keep.extend(getattr(clustered, "_schemax_persisted", []))
     return _track_persisted(out, keep)

@@ -328,6 +328,14 @@ def unigram_logprob_scores(
             out.append(s / len(toks) - ln_total)
         return pd.Series(out, dtype="float64")
 
+    if passthrough:
+        from py_schemax_spark.operators.common import (
+            check_passthrough_collisions,
+        )
+
+        check_passthrough_collisions(
+            df, ["n_tokens", "logprob"], "unigram_logprob_scores"
+        )
     base = list(df.columns) if passthrough else [key_col]
     result = df.select(
         *[F.col(x) for x in base],

@@ -74,7 +74,15 @@ def block_urls(
     for the first matching pattern rule, else null; ``blocked`` is
     false (never null) for clean or null URLs.
     """
-    dom = blocked_domains.select(F.col("domain").cast("string"))
+    # sanitize: duplicate entries would double-match a level's join
+    # (breaking one-row-per-document), and an empty/null entry equals
+    # the '' that _suffix() yields past the host's label count — it
+    # would block nearly the whole corpus
+    dom = (
+        blocked_domains.select(F.col("domain").cast("string"))
+        .filter(F.col("domain").isNotNull() & (F.col("domain") != ""))
+        .distinct()
+    )
     over = dom.filter(
         F.size(F.split("domain", r"\.")) > max_labels
     ).limit(1).collect()
@@ -91,6 +99,17 @@ def block_urls(
             "broadcast — shard the list or raise the cap"
         )
 
+    if passthrough:
+        from py_schemax_spark.operators.common import (
+            check_passthrough_collisions,
+        )
+
+        check_passthrough_collisions(
+            df,
+            ["host", "blocked", "reason", "_labels"]
+            + [f"_m{i}" for i in range(1, max_labels + 1)],
+            "block_urls",
+        )
     url = F.col(url_col)
     base_cols = list(df.columns) if passthrough else [key_col, url_col]
     # materialize host + split labels as real columns BEFORE slicing:

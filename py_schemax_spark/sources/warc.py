@@ -136,14 +136,27 @@ def write_warc(
     payload's UTF-8 BYTE length."""
     payload = F.coalesce(F.col(text_col), F.lit(""))
     url = F.coalesce(F.col(url_col), F.lit(""))
-    # render the INSTANT in UTC (WARC spec) — date_format alone prints
-    # session-timezone wall time under a literal 'Z', which is wrong
-    # for any non-UTC session (and used to cancel against the read
-    # side's matching bug within one session)
+    # render the INSTANT in UTC (WARC spec) via pure epoch arithmetic:
+    # date_format prints session-timezone wall time, and
+    # convert_timezone round-trips through session WALL time — which
+    # is ambiguous in the DST fall-back hour, shifting instants
+    # written from a non-UTC session by an hour. Epoch seconds →
+    # (days, seconds-of-day) integer math → tz-free DATE formatting
+    # has no wall-time step at all.
+    e = F.unix_timestamp(F.col(ts_col)).cast("long")
+    tod = ((e % 86400) + 86400) % 86400
+    days = ((e - tod) / 86400).cast("int")
+    two = lambda c: F.lpad(c.cast("long").cast("string"), 2, "0")  # noqa: E731
     ts_utc = F.coalesce(
-        F.date_format(
-            F.convert_timezone(None, F.lit("UTC"), F.col(ts_col)),
-            "yyyy-MM-dd'T'HH:mm:ss",
+        F.concat(
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), days),
+                "yyyy-MM-dd",
+            ),
+            F.lit("T"),
+            two(tod / 3600), F.lit(":"),
+            two((tod % 3600) / 60), F.lit(":"),
+            two(tod % 60),
         ),
         F.lit(""),
     )

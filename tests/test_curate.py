@@ -88,14 +88,24 @@ def test_run_curation_no_report_skips_counts_and_is_equal(spark):
     assert sorted(r["doc_id"] for r in curated.collect()) == [0, 1, 6, 7, 8]
 
 
-def test_run_curation_skips_inapplicable_stages(spark):
-    # no blocklist/url, no budgets: those stages silently drop out
-    cfg = CurationConfig(steps=("blocklist", "quality", "mix"))
+def test_run_curation_default_steps_skip_inapplicable(spark):
+    # default steps=None: stages whose config is missing drop out
     curated, rep = run_curation(
-        _corpus(spark).select("doc_id", "text", "lang"), cfg
+        _corpus(spark).select("doc_id", "text", "lang"),
+        CurationConfig(),
     )
-    assert rep["enabled"] == ["quality"]
-    assert rep["stages"].keys() == {"quality"}
+    assert "blocklist" not in rep["enabled"]
+    assert "mix" not in rep["enabled"]
+    assert "quality" in rep["enabled"]
+
+
+def test_run_curation_explicit_steps_are_strict(spark):
+    # naming a stage whose config is missing must raise, not skip
+    df = _corpus(spark).select("doc_id", "text", "lang")
+    with pytest.raises(ValueError, match="blocklist"):
+        run_curation(df, CurationConfig(steps=("blocklist", "quality")))
+    with pytest.raises(ValueError, match="mix"):
+        run_curation(df, CurationConfig(steps=("quality", "mix")))
 
 
 def test_curation_config_rejects_unknown_step():

@@ -57,6 +57,38 @@ def test_block_urls_pattern_rules_order_and_precedence(spark):
     assert got[3]["reason"] == "domain:tracker.org"
 
 
+def test_block_urls_sanitizes_blocklist(spark):
+    # duplicate entries must not double-emit rows; empty/null entries
+    # would match the ''-suffix of nearly every host
+    got = _run(
+        spark,
+        ["https://tracker.org/x", "https://clean.org/y"],
+        ["tracker.org", "tracker.org", "", None],
+    )
+    assert len(got) == 2
+    assert got[0]["blocked"] is True
+    assert got[1]["blocked"] is False
+
+
+def test_passthrough_rejects_colliding_input_columns(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "https://x.org/", "pre")],
+        "doc_id long, url string, host string",
+    )
+    bl = spark.createDataFrame([("x.org",)], "domain string")
+    with _pytest.raises(ValueError, match="collide"):
+        block_urls(df, bl, passthrough=True)
+    from py_schemax_spark.operators.normalize import normalize_text
+
+    df2 = spark.createDataFrame(
+        [(1, "t", True)], "doc_id long, text string, changed boolean"
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        normalize_text(df2, passthrough=True)
+
+
 def test_block_urls_rejects_too_deep_blocklist_entry(spark):
     df = spark.createDataFrame([(1, "https://x.org/")], "doc_id long, url string")
     bl = spark.createDataFrame(
@@ -78,8 +110,14 @@ def test_block_urls_plan_is_broadcast_only(spark):
         .toString()
     )
     # the limit-probe runs eagerly; the RESULT plan must be pure
-    # broadcast joins — no exchange over the corpus side
+    # broadcast joins with NO exchange over the corpus side (the
+    # blocklist-side distinct exchange is over <=5M domains and fine)
     assert "BroadcastHashJoin" in plan
-    assert "Exchange hashpartitioning" not in plan
+    ex_lines = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+        or "Exchange rangepartitioning" in ln
+    ]
+    assert all("domain" in ln or "_m" in ln for ln in ex_lines), ex_lines
     assert "SortMergeJoin" not in plan
     assert "NestedLoop" not in plan

@@ -128,6 +128,37 @@ def test_warc_dates_are_utc_across_session_timezones(spark, tmp_path):
         conf.set("spark.sql.session.timeZone", orig)
 
 
+def test_warc_dates_exact_in_dst_fallback_overlap(spark, tmp_path):
+    # instants in the repeated DST hour are ambiguous as WALL time:
+    # a wall-time round trip (convert_timezone) resolves 01:30 to the
+    # earlier offset and shifts the second occurrence by an hour. The
+    # epoch-arithmetic renderer must emit both instants exactly.
+    import glob
+    from datetime import datetime, timezone
+
+    conf = spark.conf
+    orig = conf.get("spark.sql.session.timeZone")
+    # America/New_York falls back 2026-11-01: wall 01:30 happens at
+    # 05:30Z (EDT) and again at 06:30Z (EST)
+    e1 = int(datetime(2026, 11, 1, 5, 30, tzinfo=timezone.utc).timestamp())
+    e2 = int(datetime(2026, 11, 1, 6, 30, tzinfo=timezone.utc).timestamp())
+    try:
+        conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = spark.createDataFrame(
+            [("https://a.example/1", e1, "x"), ("https://a.example/2", e2, "y")],
+            "url string, e long, text string",
+        ).select("url", F.timestamp_seconds("e").alias("warc_ts"), "text")
+        p = str(tmp_path / "dstw")
+        write_warc(df, p)
+        raw = b"".join(
+            open(f, "rb").read() for f in glob.glob(f"{p}/part-*")
+        )
+        assert b"WARC-Date: 2026-11-01T05:30:00Z" in raw
+        assert b"WARC-Date: 2026-11-01T06:30:00Z" in raw
+    finally:
+        conf.set("spark.sql.session.timeZone", orig)
+
+
 def test_warc_null_text_and_missing_length(spark, tmp_path):
     df = spark.createDataFrame(
         [("https://a.example/null", None)], "url string, text string"
