@@ -455,9 +455,13 @@ that day are the recorded BENCH_LATEST + one `SCALING_ONLY` sample):
 | 1 | 7.029 s | 284,534 | 0.937 | 0.384 |
 | 2 (recorded) | 7.853 s | 254,694 | 0.828 | 0.873 |
 | 3 (scaling-only) | — | — | 0.772 | 0.816 |
+| 4 (scaling-only) | — | — | 0.708 | 0.442 |
 
 Within-run trials swing up to ~3× on 08-18 and worse on 08-19 (run 3
-local[8] first timed trial 280 s vs 19.8 s steady-state) — this
+local[8] first timed trial 280 s vs 19.8 s steady-state; run 4's
+local[8] level degraded across ALL trials while its local[2] level
+stayed flat — consistent with external co-tenant load ramping over
+the night, which hits the wider pinned core set harder) — this
 host's allocator/page-cache state and co-tenant load dominate
 single-trial wall time (see the round-2 items below). A consistent
 pattern across every run: the FIRST timed trial after the full-size
