@@ -10,8 +10,10 @@ end-to-end — ALL constraint classes (stats, row violations,
 uniqueness, referential, drift) over a deterministic synthetic pages
 table, plus the two-parallelism scaling evidence required by the
 north rule (no real cluster in this sandbox): the SAME job at
-local[8] (N) and local[32] (4N) on the same input, efficiency =
-T8/T32/4 in throughput terms. Results are also appended to BENCH.md.
+local[N] and local[4N] (default 2 and 8 cores) on the same input,
+timed trials interleaved in lockstep pairs across two persistent
+pinned worker processes, efficiency = median over pairs of
+T_N/(4*T_4N). Results are also appended to BENCH.md.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_ROWS (pages-table
@@ -143,15 +145,23 @@ def build_drift_baseline(spark):
     return build_baseline(clean, spec).collect()
 
 
-def scale_child(argv: list[str]) -> None:
-    """One scaling level in a FRESH process/JVM.
+def scale_worker(argv: list[str]) -> None:
+    """One scaling level as a PERSISTENT worker in a fresh process/JVM,
+    driven over stdin/stdout by the parent so the two levels' timed
+    trials can be INTERLEAVED in lockstep (round 4 protocol).
 
-    In-process sequential sessions share one JVM through the py4j
-    gateway, so a local[2] level measured after the local[32] headline
-    runs inside a heap bloated by everything before it — observed as
-    multi-core GC storms (a 'local[2]' JVM burning 6+ cores) and 3-30x
-    wall-time outliers. Process isolation is also what the north rule
-    actually describes: one spark-submit per cluster size.
+    Fresh process per level: in-process sequential sessions share one
+    JVM through the py4j gateway, so a local[2] level measured after
+    the local[32] headline runs inside a heap bloated by everything
+    before it — observed as multi-core GC storms (a 'local[2]' JVM
+    burning 6+ cores) and 3-30x wall-time outliers. Process isolation
+    is also what the north rule actually describes: one spark-submit
+    per cluster size.
+
+    Protocol: warm up (untimed), print ``READY``; then for each
+    ``RUN`` line on stdin execute ONE timed trial and print
+    ``RESULT {json}``; ``EXIT`` stops Spark and exits. Only
+    READY/RESULT lines go to stdout (Spark chatter goes to stderr).
     """
     n_cores, rows, words = int(argv[0]), int(argv[1]), int(argv[2])
     pages_path, warm_path, baseline_path = argv[3], argv[4], argv[5]
@@ -177,23 +187,168 @@ def scale_child(argv: list[str]) -> None:
         },
     )
     baseline = spark.read.parquet(baseline_path)
-    # two-stage warm-up, both untimed: the 50k run compiles the small
-    # plans cheaply, but AQE replans at full size and C2 JIT needs the
-    # real hot loops — so one full-size run must warm too (observed:
-    # without it the first 1-2 full-size trials are 5-10x slower)
+    # three-stage warm-up, all untimed: the 50k run compiles the small
+    # plans cheaply; AQE replans at full size and C2 JIT needs the
+    # real hot loops, and with ActiveProcessorCount pinning steady
+    # state arrives late — observed across six round-3 runs as the
+    # FIRST timed trial being the worst (86-280 s vs ~20 s steady at
+    # local[8]), so TWO full-size warm-ups precede the timed trials.
     run_validation_suite(spark, 50_000, baseline, words)
     run_validation_suite(spark, rows, baseline, words)
-    # 5 timed trials: with ActiveProcessorCount pinning, the JVM has
-    # few JIT compiler threads and steady state arrives late — the
-    # min is the steady-state number; the median is reported alongside
-    # (all trials are recorded)
-    trials = [
-        run_validation_suite(spark, rows, baseline, words) for _ in range(5)
-    ]
-    best = min(trials, key=lambda r: r["sec"])
-    best["trials_sec"] = [t["sec"] for t in trials]
+    run_validation_suite(spark, rows, baseline, words)
+    print("READY", flush=True)
+    while True:
+        line = sys.stdin.readline()
+        cmd = line.strip()
+        if not line or cmd == "EXIT":
+            break
+        if cmd == "RUN":
+            res = run_validation_suite(spark, rows, baseline, words)
+            print("RESULT " + json.dumps(res), flush=True)
     spark.stop()
-    print(json.dumps(best))
+
+
+SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "5"))
+
+
+def _level_cores(n: int, n4: int) -> dict[int, str]:
+    """taskset core ranges for the two levels — DISJOINT when the host
+    has enough cores, so the idle worker's background JVM threads can
+    never borrow from the level currently running its trial."""
+    host = os.cpu_count() or (n + n4)
+    if n + n4 <= host:
+        return {n: f"0-{n - 1}", n4: f"{n}-{n + n4 - 1}"}
+    return {n: f"0-{n - 1}", n4: f"0-{n4 - 1}"}
+
+
+def _read_msg(proc, prefix: str, level: int) -> str:
+    """Next stdout line from a worker that starts with ``prefix``."""
+    while True:
+        line = proc.stdout.readline()
+        if not line:
+            raise RuntimeError(
+                f"scale worker local[{level}] exited before '{prefix}' "
+                f"(rc={proc.poll()})"
+            )
+        if line.startswith(prefix):
+            return line.strip()
+
+
+def run_scaling_interleaved(
+    big_path: str, warm_path: str, baseline_path: str
+) -> dict:
+    """Two-cluster-size scaling evidence, robust to co-tenant drift.
+
+    Round-3 failure mode this protocol fixes: the old harness ran ALL
+    local[N] trials, then ALL local[4N] trials; monotone host-load
+    drift (documented in BENCH.md's six-run distribution) therefore
+    landed entirely on one level and swung the recorded efficiency
+    across the pass/fail line (driver-recorded r03: 0.676 best / 0.308
+    median vs same-commit reruns at 0.828/0.873).
+
+    Round-4 protocol: one PERSISTENT worker process per level (fresh
+    JVM, taskset-pinned to DISJOINT core sets, ActiveProcessorCount +
+    per-level heap as before), warmed up concurrently, then timed
+    trials run in interleaved lockstep pairs — pair i runs one local[N]
+    trial and one local[4N] trial back-to-back (order alternating
+    N-first/4N-first to cancel within-pair drift direction). Each pair
+    yields its own efficiency sec_N/(4*sec_4N); the headline robust
+    statistic is the MEDIAN of pair-wise efficiencies, since host-load
+    drift hits both members of a pair nearly equally and cancels in
+    the ratio. If pair efficiencies disperse >1.5x (max/min) the run
+    extends by 2 extra pairs once — more samples under noise,
+    regardless of which side of the bar the median sits on.
+    Best-of-trials efficiency is reported alongside for
+    round-over-round comparability.
+    """
+    import shutil
+    import statistics
+    import subprocess
+
+    cores = _level_cores(SCALE_N, SCALE_4N)
+    tset = shutil.which("taskset")
+    workers: dict[int, subprocess.Popen] = {}
+    for n_cores in (SCALE_N, SCALE_4N):
+        # taskset confines the ENTIRE child process tree — JVM,
+        # python-UDF workers, Arrow IPC — to exactly the level's
+        # cores, like a real N-core executor node. Without it the
+        # python workers (extraction!) escape the JVM's
+        # ActiveProcessorCount pin and borrow idle host cores,
+        # inflating the small level's throughput and understating
+        # efficiency.
+        pin = [tset, "-c", cores[n_cores]] if tset else []
+        workers[n_cores] = subprocess.Popen(
+            pin + [
+                sys.executable, __file__, "--scale-worker",
+                str(n_cores), str(SCALE_ROWS), str(SCALE_WORDS),
+                big_path, warm_path, baseline_path,
+            ],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, bufsize=1,
+        )
+    # both levels warm up concurrently (disjoint cores)
+    for n_cores, proc in workers.items():
+        _read_msg(proc, "READY", n_cores)
+
+    trials: dict[int, list[dict]] = {SCALE_N: [], SCALE_4N: []}
+    pair_effs: list[float] = []
+
+    def one_trial(n_cores: int) -> dict:
+        w = workers[n_cores]
+        w.stdin.write("RUN\n")
+        w.stdin.flush()
+        msg = _read_msg(w, "RESULT ", n_cores)
+        res = json.loads(msg[len("RESULT "):])
+        trials[n_cores].append(res)
+        return res
+
+    def run_pairs(k: int) -> None:
+        for i in range(k):
+            order = (
+                (SCALE_N, SCALE_4N)
+                if (len(pair_effs) % 2 == 0)
+                else (SCALE_4N, SCALE_N)
+            )
+            res = {n: one_trial(n) for n in order}
+            pair_effs.append(
+                round(res[SCALE_N]["sec"] / (4 * res[SCALE_4N]["sec"]), 3)
+            )
+
+    run_pairs(SCALE_PAIRS)
+    if len(pair_effs) > 1 and max(pair_effs) / min(pair_effs) > 1.5:
+        run_pairs(2)  # dispersion-triggered extension (once)
+
+    for n_cores, proc in workers.items():
+        try:
+            proc.stdin.write("EXIT\n")
+            proc.stdin.flush()
+        except BrokenPipeError:
+            pass
+        proc.wait(timeout=120)
+
+    scaling: dict = {
+        "levels": [SCALE_N, SCALE_4N],
+        "words_scale": SCALE_WORDS,
+        "protocol": "interleaved-pairs",
+        "cores": {f"local[{k}]": v for k, v in cores.items()},
+    }
+    for n_cores in (SCALE_N, SCALE_4N):
+        best = min(trials[n_cores], key=lambda r: r["sec"])
+        best = dict(best)
+        best["trials_sec"] = [t["sec"] for t in trials[n_cores]]
+        scaling[f"local[{n_cores}]"] = best
+    tn = scaling[f"local[{SCALE_N}]"]["docs_per_sec"]
+    t4n = scaling[f"local[{SCALE_4N}]"]["docs_per_sec"]
+    scaling["efficiency"] = round(t4n / (4 * tn), 3)
+    scaling["pair_efficiencies"] = pair_effs
+    scaling["efficiency_median"] = round(statistics.median(pair_effs), 3)
+    med_n = statistics.median(scaling[f"local[{SCALE_N}]"]["trials_sec"])
+    med_4n = statistics.median(scaling[f"local[{SCALE_4N}]"]["trials_sec"])
+    scaling["median_sec"] = {
+        f"local[{SCALE_N}]": round(med_n, 3),
+        f"local[{SCALE_4N}]": round(med_4n, 3),
+    }
+    return scaling
 
 
 def main() -> None:
@@ -294,63 +449,13 @@ def main() -> None:
         ).parquet(baseline_path)
     spark.stop()
 
-    # scaling evidence: same job, same input, N=8 vs 4N=32 threads.
-    # Protocol: first trial warms page cache / python workers / codegen,
-    # best-of-2 measured trials is reported (standard min-of-trials).
+    # scaling evidence: same job, same input, N vs 4N cores, trials
+    # INTERLEAVED in lockstep pairs (round 4 protocol — see
+    # run_scaling_interleaved).
     if RUN_SCALING:
-        import subprocess
-
-        scaling = {"levels": [SCALE_N, SCALE_4N], "words_scale": SCALE_WORDS}
-        for n_cores in (SCALE_N, SCALE_4N):
-            # each level in a FRESH process/JVM (see scale_child);
-            # shuffle partitions = the level's task slots (1/core),
-            # the standard sizing for a cluster of that width, AQE
-            # coalesces further at runtime
-            # taskset confines the ENTIRE child process tree — JVM,
-            # python-UDF workers, Arrow IPC — to exactly the level's
-            # cores, like a real N-core executor node. Without it the
-            # python workers (extraction!) escape the JVM's
-            # ActiveProcessorCount pin and borrow idle host cores,
-            # inflating the small level's throughput and understating
-            # efficiency.
-            import shutil
-
-            pin = (
-                [shutil.which("taskset"), "-c", f"0-{n_cores - 1}"]
-                if shutil.which("taskset")
-                else []
-            )
-            proc = subprocess.run(
-                pin
-                + [
-                    sys.executable, __file__, "--scale-child",
-                    str(n_cores), str(SCALE_ROWS), str(SCALE_WORDS),
-                    big_path, warm_path, baseline_path,
-                ],
-                capture_output=True, text=True, check=True,
-            )
-            best = json.loads(proc.stdout.strip().splitlines()[-1])
-            scaling[f"local[{n_cores}]"] = best
-        import statistics
-
-        tn = scaling[f"local[{SCALE_N}]"]["docs_per_sec"]
-        t4n = scaling[f"local[{SCALE_4N}]"]["docs_per_sec"]
-        scaling["efficiency"] = round(t4n / (4 * tn), 3)
-        # median-of-trials companion (requested round 1): best-of is
-        # the steady-state headline, the median shows run variance —
-        # both recorded so round-over-round deltas are readable
-        med_n = statistics.median(
-            scaling[f"local[{SCALE_N}]"]["trials_sec"]
+        out["scaling"] = run_scaling_interleaved(
+            big_path, warm_path, baseline_path
         )
-        med_4n = statistics.median(
-            scaling[f"local[{SCALE_4N}]"]["trials_sec"]
-        )
-        scaling["median_sec"] = {
-            f"local[{SCALE_N}]": round(med_n, 3),
-            f"local[{SCALE_4N}]": round(med_4n, 3),
-        }
-        scaling["efficiency_median"] = round(med_n / (4 * med_4n), 3)
-        out["scaling"] = scaling
         if not SCALING_ONLY:
             # distribution samples must not overwrite the canonical
             # BENCH.md of the last FULL run
@@ -388,19 +493,36 @@ storms and 3-30× outliers. The level JVM is pinned with
 shuffle/Arrow threads are confined to the level's cores exactly like
 a cgroup-limited executor — without the pin, a 'local[2]' JVM still
 runs ~20 GC/JIT threads across the 32-core host and the small level
-borrows invisible cores. Warm-up per level is two untimed runs (one
-small, one FULL-size — AQE replans at full size and C2 JIT needs the
-real hot loops; without the full-size warm-up the first 1-2 trials
-are 5-10× slower), then 5 timed trials (best + median reported).
+borrows invisible cores.
 
-| parallelism | rows | wall sec (best of 5) | median sec | docs/sec |
+**Round-4 interleaved-pairs protocol.** Round 3's recorded efficiency
+(0.676 best / 0.308 median) failed the ≥0.8 bar while same-commit
+reruns passed (0.828/0.873): the old harness ran all local[{n}]
+trials, then all local[{n4}] trials, so monotone co-tenant host-load
+drift landed entirely on one level and swung the ratio with host
+mood. Now the two levels run as PERSISTENT workers pinned to DISJOINT
+core sets ({scaling.get('cores', {{}})}), warmed up concurrently
+(one small + TWO full-size untimed runs each — across six round-3
+runs the first timed trial after a single full-size warm-up was
+always the worst, 86-280 s vs ~20 s steady at local[8]), then timed
+trials execute in interleaved lockstep pairs (N,4N / 4N,N / …). Each
+pair yields its own efficiency sec_N/(4·sec_4N); co-tenant drift hits
+both members of a pair nearly equally and cancels in the ratio. The
+headline robust statistic is the MEDIAN of pair-wise efficiencies;
+if pair efficiencies disperse >1.5× (max/min) the run extends by two
+extra pairs once — more samples under noise, on either side of the
+bar. Best-of-trials efficiency is reported alongside for
+round-over-round comparability.
+
+| parallelism | rows | wall sec (best of {len(rn['trials_sec'])}) | median sec | docs/sec |
 |---|---|---|---|---|
 | local[{n}] (N) | {rn['rows']} | {rn['sec']} | {scaling['median_sec'][f'local[{n}]']} | {rn['docs_per_sec']} |
 | local[{n4}] (4N) | {r4n['rows']} | {r4n['sec']} | {scaling['median_sec'][f'local[{n4}]']} | {r4n['docs_per_sec']} |
 
 **Scaling efficiency** = throughput(4N) / (4 × throughput(N)) =
 **{scaling['efficiency']}** best-of-trials /
-**{scaling['efficiency_median']}** median-of-trials
+**{scaling['efficiency_median']}** median of pair-wise efficiencies
+(pairs: {scaling.get('pair_efficiencies')})
 (target ≥ 0.8 per BASELINE.json).
 
 ## Why N={n}→4N={n4} (and not 8→32) on this box
@@ -429,10 +551,12 @@ validation {out['validation']['rows']} docs in
 {out['validation']['sec']}s → {out['validation']['docs_per_sec']}
 docs/sec; per-query seconds: {json.dumps(out['queries'])}.
 
-Protocol: two untimed warm-ups then 5 timed trials per parallelism
-level, best + median reported (all trial times in the JSON
-`trials_sec`); the whole child process tree is taskset-pinned to the
-level's cores so python-UDF workers cannot borrow idle host cores. Checks included:
+Protocol: three untimed warm-ups per level then {len(rn['trials_sec'])}
+timed trials per parallelism level run in interleaved lockstep pairs,
+best + pair-wise-median efficiency reported (all trial times in the
+JSON `trials_sec`); each level's whole process tree is taskset-pinned
+to a disjoint core set so python-UDF workers cannot borrow idle host
+cores or each other's. Checks included:
 row constraints, byte-identical html→text extraction (Arrow pandas
 UDF), uniqueness (window), lang referential (broadcast anti-join),
 t-digest drift vs baseline.
@@ -595,7 +719,7 @@ its docstring).
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--scale-child":
-        scale_child(sys.argv[2:])
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
+        scale_worker(sys.argv[2:])
     else:
         main()

@@ -19,4 +19,4 @@ Everything is DataFrame-API expressible; Python appears only in
 Arrow-batched pandas UDFs (text extraction, sketches), never per-row.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"

@@ -960,14 +960,24 @@ def dedup_clusters(
     src: str = "key_a",
     dst: str = "key_b",
     passthrough: bool = False,
+    max_broadcast_components: int = 2_000_000,
 ) -> DataFrame:
     """Cluster assignment for every document: docs reached by a
     duplicate pair get their component's min key as ``cluster_id``;
     untouched docs are their own singleton cluster. ``is_survivor``
-    marks the one kept doc per cluster (the min key). The anti-join
-    side never shuffles full rows — components is a tiny (nodes-in-
-    pairs)-sized table and broadcasts. ``passthrough=True`` carries
-    every input column (the broadcast join keeps it shuffle-free)."""
+    marks the one kept doc per cluster (the min key).
+
+    The component map is (nodes-in-pairs)-sized. When small it
+    broadcasts, so full corpus rows never enter an exchange; but at
+    real crawl dup rates (30-50% of docs participate in a duplicate
+    pair) the node set is corpus-scale and an unconditional broadcast
+    would OOM the driver/executors — so the broadcast is GATED on a
+    bounded ``limit(n+1)`` probe (the same strategy-selection probe as
+    ``referential._exceeds``), falling back to a plain shuffle join
+    above ``max_broadcast_components`` rows (~16 B/row of long pairs →
+    the 2M default is ~32 MB in-broadcast). ``passthrough=True``
+    carries every input column (shuffle-free only on the broadcast
+    path)."""
     if passthrough:
         from py_schemax_spark.operators.common import (
             check_passthrough_collisions,
@@ -977,12 +987,22 @@ def dedup_clusters(
             df, ["cluster_id", "is_survivor", "component"],
             "dedup_clusters",
         )
+    from py_schemax_spark.operators.referential import _exceeds
+
     comp = connected_components(pairs, src=src, dst=dst)
+    # .withColumnRenamed / F.broadcast return NEW DataFrame objects:
+    # capture the persisted-intermediates registry before wrapping
+    comp_persisted = getattr(comp, "_schemax_persisted", [])
+    comp = comp.withColumnRenamed("node", key_col)
+    # comp derives from localCheckpoint'ed labels, so the probe's
+    # re-evaluation is a cheap cached scan, not a CC re-run
+    if not _exceeds(comp, max_broadcast_components):
+        comp = F.broadcast(comp)
     base_cols = list(df.columns) if passthrough else [key_col]
     keyed = df.select(*[F.col(x) for x in base_cols])
     out = (
         keyed.join(
-            F.broadcast(comp.withColumnRenamed("node", key_col)),
+            comp,
             key_col,
             "left",
         )
@@ -996,7 +1016,5 @@ def dedup_clusters(
     )
     # comp's intermediates are already in the registry — re-attach for
     # per-result release without double-registering them.
-    out._schemax_persisted = getattr(  # type: ignore[attr-defined]
-        comp, "_schemax_persisted", []
-    )
+    out._schemax_persisted = comp_persisted  # type: ignore[attr-defined]
     return out

