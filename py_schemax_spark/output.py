@@ -52,6 +52,11 @@ class Output:
                 f"{icon} part={r['part']} rows={r['row_count']} "
                 f"violations={r['violation_count']}"
             )
+        if result.run_summary.suppressed_parts:
+            self._emit(
+                f"… and {result.run_summary.suppressed_parts} more "
+                "partition(s) not shown (run totals below cover them)"
+            )
         for d in result.drift:
             if d["drifted"] or self.level == "verbose":
                 icon = "❌" if d["drifted"] else "✅"
@@ -83,6 +88,15 @@ class Output:
                         "valid": bool(r["valid"]),
                         "row_count": r["row_count"],
                         "violation_count": r["violation_count"],
+                    }
+                )
+            )
+        if result.run_summary.suppressed_parts:
+            self._emit(
+                json.dumps(
+                    {
+                        "kind": "partitions_suppressed",
+                        "count": result.run_summary.suppressed_parts,
                     }
                 )
             )

@@ -42,7 +42,12 @@ from py_schemax_spark.operators.uniqueness import uniqueness_violations
 from py_schemax_spark.operators.violations import row_violations
 from py_schemax_spark.plans.compiler import schema_conformance
 from py_schemax_spark.specs.model import TableSpec
-from py_schemax_spark.verdict import RunSummary, merge_violations, partition_summary
+from py_schemax_spark.verdict import (
+    RunSummary,
+    merge_violations,
+    partition_summary,
+    summarize_partitions,
+)
 
 #: registry order — the analogue of VALIDATORS_IN_ORDER
 #: (reference rulesets.py:17-21); DEFAULT_CHECKS mirrors the default
@@ -73,6 +78,10 @@ class RunConfig:
     # (one scan instead of three); disabled under fail_mode="fast",
     # which needs per-class short-circuit order
     fuse_row_checks: bool = True
+    # per-partition summary rows materialized on the driver are capped
+    # at this many (worst partitions first); run totals stay exact via
+    # a single-row aggregate (verdict.summarize_partitions)
+    max_summary_partitions: int = 10_000
 
     def __post_init__(self) -> None:
         # unknown check names are a config error, not a silent no-op —
@@ -273,8 +282,13 @@ class ValidationRun:
         violations = (
             merge_violations(*parts) if parts else self._empty_violations(df, key)
         )
-        summary = partition_summary(df, violations, part).collect()
-        run_summary = RunSummary.from_partition_summary(summary)
+        # bounded collect: totals are exact for ALL partitions; at most
+        # max_summary_partitions per-partition rows reach the driver
+        # (worst first), so a 10^6-partition table cannot flood it
+        summary, run_summary = summarize_partitions(
+            partition_summary(df, violations, part),
+            max_rows=cfg.max_summary_partitions,
+        )
         invalid = (
             (not run_summary.valid) or bool(schema_errors)
             or any(d["drifted"] for d in drift_list)

@@ -89,6 +89,10 @@ class RunSummary:
     total_rows: int = 0
     total_violations: int = 0
     failed_parts: list = field(default_factory=list)
+    # partitions whose per-partition rows were NOT materialized on the
+    # driver (bounded collect at high partition counts) — totals above
+    # still cover them exactly
+    suppressed_parts: int = 0
 
     @classmethod
     def from_partition_summary(cls, summary_rows) -> "RunSummary":
@@ -117,4 +121,63 @@ class RunSummary:
             "total_rows": self.total_rows,
             "total_violations": self.total_violations,
             "failed_parts": sorted(map(str, self.failed_parts)),
+            "suppressed_parts": self.suppressed_parts,
         }
+
+
+def summarize_partitions(
+    summary_df: DataFrame, max_rows: int = 10_000
+) -> tuple[list, "RunSummary"]:
+    """Bounded driver materialization of the per-partition summary.
+
+    A plain ``.collect()`` of the summary is one row per partition —
+    fine at 10^3 partitions, a driver flood at 10^6 (a year of hourly
+    partitions x many tables). Instead:
+
+    * run totals come from ONE single-row aggregate (exact, covers
+      every partition, O(1) driver memory);
+    * at most ``max_rows`` per-partition rows are collected, worst
+      first (invalid before valid, highest violation count first) via
+      orderBy+limit — Spark executes that as TakeOrderedAndProject
+      (bounded per-executor top-k, no global sort);
+    * ``RunSummary.suppressed_parts`` records how many partitions were
+      left distributed, so output can say "... and K more" instead of
+      silently truncating.
+
+    Returns ``(rows_for_display, run_summary)``; rows are re-sorted by
+    partition value for stable display.
+    """
+    from pyspark import StorageLevel
+
+    # two jobs read the summary (totals agg + top-k rows); persist so
+    # the expensive upstream (the violations pipeline) runs once
+    summary_df = summary_df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        tot = summary_df.agg(
+            F.count(F.lit(1)).alias("parts"),
+            F.sum(F.col("valid").cast("long")).alias("valid_parts"),
+            F.sum("row_count").alias("rows"),
+            F.sum("violation_count").alias("violations"),
+        ).collect()[0]
+        n_parts = int(tot["parts"] or 0)
+        n_valid = int(tot["valid_parts"] or 0)
+        rows = (
+            summary_df.orderBy(
+                F.asc("valid"), F.desc("violation_count"), F.asc("part")
+            )
+            .limit(max_rows)
+            .collect()
+        )
+    finally:
+        summary_df.unpersist()
+    rows.sort(key=lambda r: str(r["part"]))
+    s = RunSummary(
+        total_partitions=n_parts,
+        valid_partitions=n_valid,
+        invalid_partitions=n_parts - n_valid,
+        total_rows=int(tot["rows"] or 0),
+        total_violations=int(tot["violations"] or 0),
+        failed_parts=[r["part"] for r in rows if not r["valid"]],
+        suppressed_parts=max(0, n_parts - len(rows)),
+    )
+    return rows, s

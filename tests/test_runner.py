@@ -159,3 +159,38 @@ def test_checkpoint_resume_identical_verdicts(spark, pages_spec, lang_dim, tmp_p
     assert resumed_rows == golden_rows
     assert r2.run_summary.total_rows == golden.run_summary.total_rows
     assert r2.run_summary.total_violations == golden.run_summary.total_violations
+
+
+def test_summary_collect_bounded_at_high_partition_count(spark, pages_spec, lang_dim):
+    """A table with many partitions must not flood the driver: at most
+    `max_summary_partitions` per-partition rows are collected (worst
+    first, so every surfaced row is a FAILING partition here), the
+    suppressed count is reported, and the run totals stay exact —
+    identical to an unbounded run over the same frame."""
+    # 600 distinct days -> 600 summary partitions; every day carries
+    # the same deterministic dirt from gen_pages
+    df = gen_pages(spark, 3000).withColumn(
+        "warc_ts",
+        F.expr("timestampadd(DAY, CAST(conv(substr(md5(url),1,4),16,10) "
+               "AS INT) % 600, warc_ts)"),
+    )
+    dims = {"lang_dim": lang_dim}
+    bounded = _run(spark, df, pages_spec, dims, max_summary_partitions=50)
+    full = _run(spark, df, pages_spec, dims)
+
+    assert len(bounded.summary_rows) == 50
+    assert bounded.run_summary.suppressed_parts == (
+        full.run_summary.total_partitions - 50
+    )
+    assert full.run_summary.suppressed_parts == 0
+    # worst-first: with invalid partitions present, no valid partition
+    # may occupy a surfaced slot
+    if bounded.run_summary.invalid_partitions >= 50:
+        assert all(not r["valid"] for r in bounded.summary_rows)
+    # exact totals regardless of the bound
+    for attr in ("total_partitions", "valid_partitions",
+                 "invalid_partitions", "total_rows", "total_violations"):
+        assert getattr(bounded.run_summary, attr) == getattr(
+            full.run_summary, attr
+        ), attr
+    assert bounded.exit_code == full.exit_code == 1
