@@ -458,8 +458,12 @@ def main() -> None:
         )
         if not SCALING_ONLY:
             # distribution samples must not overwrite the canonical
-            # BENCH.md of the last FULL run
-            _write_bench_md(out)
+            # BENCH.md of the last FULL run. A rendering bug must
+            # never lose the measured JSON record itself.
+            try:
+                _write_bench_md(out)
+            except Exception as exc:  # pragma: no cover
+                print(f"BENCH.md render failed: {exc!r}", file=sys.stderr)
 
     print(json.dumps(out))
 
@@ -501,7 +505,7 @@ reruns passed (0.828/0.873): the old harness ran all local[{n}]
 trials, then all local[{n4}] trials, so monotone co-tenant host-load
 drift landed entirely on one level and swung the ratio with host
 mood. Now the two levels run as PERSISTENT workers pinned to DISJOINT
-core sets ({scaling.get('cores', {{}})}), warmed up concurrently
+core sets ({scaling.get('cores')}), warmed up concurrently
 (one small + TWO full-size untimed runs each — across six round-3
 runs the first timed trial after a single full-size warm-up was
 always the worst, 86-280 s vs ~20 s steady at local[8]), then timed
