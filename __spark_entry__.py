@@ -1525,18 +1525,104 @@ def q_corpus_mix(spark, sf_dir):
     )
 
 
+def q_drift_ks(spark, sf_dir):
+    """Exact two-sample KS statistic (basis points) between the even-
+    and odd-doc_id halves of the corpus over n_chars — the integer-
+    exact companion the t-digest KS estimate (q_drift_psi) is judged
+    against. Per-value aggregation with map-side combine before the
+    one CDF window (distinct n_chars values, not rows)."""
+    from py_schemax_spark.operators.integrity import exact_ks_2samp
+
+    d = _docs(spark, sf_dir).select(
+        "n_chars", (F.col("doc_id") % 2).cast("int").alias("grp")
+    )
+    return exact_ks_2samp(d, "n_chars", "grp")
+
+
+def q_monotonicity(spark, sf_dir):
+    """Per-user event-time ordering check with planted late-arrival
+    violations (event_id % 97 == 13 shifted back one hour — interval
+    arithmetic both engines share): the append-only-log invariant a
+    crawl ingest validates per url/domain. One key-granular window
+    exchange."""
+    from py_schemax_spark.operators.integrity import (
+        monotonicity_violations,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    shifted = ev.select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.col("event_id") % 97 == 13,
+            F.col("ts") - F.expr("INTERVAL 1 HOUR"),
+        )
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+    )
+    return monotonicity_violations(shifted, "user_id", "event_id", "ts")
+
+
+def q_volume_anomaly(spark, sf_dir):
+    """Hourly ingest-volume anomalies vs a trailing 24-bucket mean
+    (integer-exact tolerance arithmetic, never a float mean): the
+    freshness/volume check a daily crawl partition gets before it is
+    admitted. Reduces to per-bucket counts before the single ordered
+    window (bounded: hours, not rows)."""
+    from py_schemax_spark.operators.integrity import volume_anomaly
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return volume_anomaly(ev, "ts")
+
+
+def q_fd_check(spark, sf_dir):
+    """Functional-dependency conformance source → lang: reports each
+    source whose documents carry more than one language, with the
+    deterministic majority value and disagreement count — the
+    cross-column dependency class (det → dep) the reference's per-file
+    attribute checks cannot express. Post-aggregation exchanges only."""
+    from py_schemax_spark.operators.integrity import fd_violations
+
+    return fd_violations(_docs(spark, sf_dir), "source", "lang")
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Exact substring-window dedup report (Lee et al. 2022 re-shaped
+    for a shared-nothing engine): 12-token stride-1 windows hashed
+    in-row (decontamination's md5 token contract), corpus-wide window
+    document-frequency, per-doc duplicated-window counts in basis
+    points."""
+    from py_schemax_spark.operators.substrings import (
+        substring_dedup_report,
+    )
+
+    return substring_dedup_report(
+        _docs(spark, sf_dir), text_col="text", key_col="doc_id", n=12
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window covers the
     queries that most need a fresh green row. Round 3's driver record
     (`CORRECTNESS_r03.json`) captured only the FIRST 50 entries, so the
     22 round-3 curation queries had no driver-recorded correctness row
-    (VERDICT round 3, "Next round #2"). Block 1 = those 22 queries;
-    block 2 = the core §2 validation/dedup/ANN/text queries; block 3
-    (positions 51+, outside the window) = rows-only variants whose
-    oracled containment twins sit in blocks 1-2, plus relational demos
-    with 2-3 rounds of recorded green history."""
+    (VERDICT round 3, "Next round #2"). Block 0 = the round-4 integrity
+    /substring operators (newest, no driver row yet); block 1 = the 22
+    round-3 curation queries; block 2 = the core §2 validation/dedup/
+    ANN/text queries; block 3 (positions 51+, outside the window) =
+    rows-only variants whose oracled containment twins sit in blocks
+    0-2, plus queries with 2-3 rounds of recorded green history
+    (`passage_dedup`, `token_counts`, `lang_id`, `fingerprint`,
+    `dedup_keep_first` rotated down in round 4 — green in BOTH r02 and
+    r03 driver records)."""
     return {
-        # -- block 1: round-3 curation operators (no driver row yet) --
+        # -- block 0: round-4 integrity + substring operators --
+        "drift_ks": q_drift_ks,
+        "monotonicity": q_monotonicity,
+        "volume_anomaly": q_volume_anomaly,
+        "fd_check": q_fd_check,
+        "substring_dedup": q_substring_dedup,
+        # -- block 1: round-3 curation operators (no r03 driver row) --
         "pii_scan": q_pii_scan,
         "dedup_clusters": q_dedup_clusters,
         "asof_purchase": q_asof_purchase,
@@ -1574,8 +1660,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_buckets": q_drift_buckets,
         "drift_grid_accuracy": q_drift_grid_accuracy,
         "exact_dedup": q_exact_dedup,
-        "passage_dedup": q_passage_dedup,
-        "dedup_keep_first": q_dedup_keep_first,
         "minhash_containment": q_minhash_containment,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
@@ -1583,14 +1667,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh_containment": q_ann_lsh_containment,
         "ann_ivf_exact": q_ann_ivf_exact,
-        "token_counts": q_token_counts,
-        "lang_id": q_lang_id,
         "repetition_profile": q_repetition_profile,
-        "fingerprint": q_fingerprint,
         "image_meta_ppm": q_image_meta_ppm,
         # ---- 50-entry window boundary (driver records up to here) ----
         # -- block 3: rows-only variants (oracled twins above) and
-        #    demos with multi-round green history --
+        #    queries with multi-round green history --
+        "passage_dedup": q_passage_dedup,
+        "dedup_keep_first": q_dedup_keep_first,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
         "stats_salted": q_stats_salted,
         "drift_psi": q_drift_psi,
         "minhash_candidates": q_minhash_candidates,
@@ -2190,6 +2276,135 @@ SELECT base.doc_id,
        coalesce(n_overlap, 0) AS n_overlap,
        coalesce(n_overlap, 0) > 0 AS contaminated
 FROM base LEFT JOIN ov USING (doc_id)
+"""
+
+    # exact two-sample KS: same per-value counts → common grid →
+    # integer cross-products; HUGEINT sums and `//` keep it bit-exact
+    drift_ks_sql = """
+WITH d AS (
+  SELECT n_chars AS v, CAST(doc_id % 2 AS INT) AS grp
+  FROM documents
+  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+),
+counts AS (
+  SELECT v,
+         SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS cb
+  FROM d GROUP BY v
+),
+cum AS (
+  SELECT SUM(ca) OVER (ORDER BY v) AS cuma,
+         SUM(cb) OVER (ORDER BY v) AS cumb
+  FROM counts
+),
+tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts)
+SELECT CAST(tot.na AS BIGINT) AS n_a,
+       CAST(tot.nb AS BIGINT) AS n_b,
+       CAST((MAX(ABS(cum.cuma * tot.nb - cum.cumb * tot.na)) * 10000)
+            // (tot.na * tot.nb) AS BIGINT) AS ks_bp
+FROM cum, tot
+GROUP BY tot.na, tot.nb
+"""
+
+    # monotonicity: same planted late-arrival shift, same per-key lag
+    monotonicity_sql = """
+WITH shifted AS (
+  SELECT user_id AS key, event_id AS pos,
+         CASE WHEN event_id % 97 = 13 THEN ts - INTERVAL 1 HOUR
+              ELSE ts END AS ts
+  FROM events
+),
+lagd AS (
+  SELECT key, pos,
+         lag(pos) OVER (PARTITION BY key ORDER BY pos) AS prev_pos,
+         ts,
+         lag(ts) OVER (PARTITION BY key ORDER BY pos) AS prev_ts
+  FROM shifted
+)
+SELECT key, pos, prev_pos, ts, prev_ts FROM lagd WHERE ts < prev_ts
+"""
+
+    # volume anomaly: hourly counts, trailing 24-bucket integer-exact
+    # tolerance (cnt*n*100 vs sum*(100±50)), min 12 buckets history
+    volume_anomaly_sql = """
+WITH counts AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts, COUNT(*) AS cnt
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+trail AS (
+  SELECT bucket_ts, cnt,
+         SUM(cnt) OVER w AS trail_sum,
+         COUNT(cnt) OVER w AS trail_n
+  FROM counts
+  WINDOW w AS (ORDER BY bucket_ts ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT bucket_ts, CAST(cnt AS BIGINT) AS cnt,
+       CAST(trail_sum AS BIGINT) AS trail_sum,
+       CAST(trail_n AS BIGINT) AS trail_n,
+       CASE WHEN cnt * trail_n * 100 < trail_sum * 50 THEN 'low'
+            ELSE 'high' END AS direction
+FROM trail
+WHERE trail_n >= 12
+  AND (cnt * trail_n * 100 < trail_sum * 50
+       OR cnt * trail_n * 100 > trail_sum * 150)
+"""
+
+    # functional dependency source → lang: deterministic majority
+    # (count desc, dep asc nulls last), violating determinants only
+    fd_check_sql = """
+WITH pairs AS (
+  SELECT source AS det, lang AS dep, COUNT(*) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+ranked AS (
+  SELECT det, dep, cnt,
+         ROW_NUMBER() OVER (
+           PARTITION BY det ORDER BY cnt DESC, dep ASC NULLS LAST
+         ) AS rk,
+         SUM(cnt) OVER (PARTITION BY det) AS n_rows,
+         COUNT(*) OVER (PARTITION BY det) AS n_dep_values
+  FROM pairs
+)
+SELECT det, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_dep_values AS BIGINT) AS n_dep_values,
+       dep AS majority_dep,
+       CAST(n_rows - cnt AS BIGINT) AS n_violations
+FROM ranked WHERE rk = 1 AND n_dep_values > 1
+"""
+
+    # substring dedup: the decontam token/md5 contract at n=12 —
+    # within-doc DISTINCT windows, document frequency >= 2, per-doc
+    # duplicated-window counts in basis points
+    substring_dedup_sql = r"""
+WITH doks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+dng AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, i, i + 11), ' ')) AS h
+  FROM doks, UNNEST(range(1, greatest(len(toks) - 10, 1))) AS t(i)
+),
+dd AS (SELECT DISTINCT doc_id, h FROM dng),
+perdoc AS (SELECT doc_id, count(*) AS n_distinct FROM dd GROUP BY doc_id),
+hot AS (SELECT h FROM dd GROUP BY h HAVING count(*) >= 2),
+dup AS (
+  SELECT doc_id, count(*) AS n_dup
+  FROM dd WHERE h IN (SELECT h FROM hot) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(greatest(len(d.toks) - 11, 0), 0) AS INT)
+         AS n_windows,
+       CAST(coalesce(p.n_distinct, 0) AS INT) AS n_distinct,
+       CAST(coalesce(u.n_dup, 0) AS BIGINT) AS n_dup,
+       CAST(CASE WHEN coalesce(p.n_distinct, 0) > 0
+                 THEN floor(coalesce(u.n_dup, 0) * 10000.0 / p.n_distinct)
+                 ELSE 0 END AS BIGINT) AS dup_bp
+FROM doks d
+LEFT JOIN perdoc p USING (doc_id)
+LEFT JOIN dup u USING (doc_id)
 """
 
     # line dedup: identical contract rebuilt in SQL — lines are
@@ -2848,4 +3063,9 @@ SELECT CAST(NULL AS BIGINT) AS orig_id, CAST(NULL AS BIGINT) AS twin_id
 WHERE 1 = 0
 """,
         "ccnet_buckets": ccnet_buckets_sql,
+        "drift_ks": drift_ks_sql,
+        "monotonicity": monotonicity_sql,
+        "volume_anomaly": volume_anomaly_sql,
+        "fd_check": fd_check_sql,
+        "substring_dedup": substring_dedup_sql,
     }

@@ -398,6 +398,8 @@ def main() -> None:
         "chunk_documents", "pack_chunks", "keywords", "html_profile",
         "gopher_quality", "c4_filters", "normalize", "url_blocklist",
         "corpus_mix", "semdedup",
+        "drift_ks", "monotonicity", "volume_anomaly", "fd_check",
+        "substring_dedup",
     ]
     queries = entrymod.queries()
     from py_schemax_spark.operators.dedup import (

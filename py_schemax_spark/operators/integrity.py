@@ -1,0 +1,210 @@
+"""Dataset-integrity checks: exact two-sample KS drift, per-key
+monotonicity, rolling volume anomalies, and functional-dependency
+conformance.
+
+No reference analogue — the reference (`/root/reference/validator.py`)
+validates one file's metadata at a time and has no cross-row or
+cross-snapshot vocabulary; these are the table-level integrity checks
+the north star's validation tier needs on a production crawl ingest
+(is today's partition the same distribution / volume / ordering /
+dependency structure as yesterday's?). All four are integer-exact by
+construction so a SQL engine reproduces them hash-identically.
+
+Scale shapes (the part that must survive 10^12 rows):
+
+- ``exact_ks_2samp`` aggregates to per-VALUE counts first (map-side
+  combine collapses the corpus before its one shuffle), so the window
+  that builds the two CDFs runs over *distinct values*, not rows. For
+  naturally bounded domains (doc lengths, scores, bucketed floats)
+  that is ≤ ~1e6 rows on one task — fine; for unbounded domains,
+  bucket first (``drift_buckets``) and run KS on the bucketed CDF.
+- ``monotonicity_violations`` is ONE key-granular window exchange
+  (lag over ``partitionBy(key)``), the minimum for any per-key
+  ordering check.
+- ``volume_anomaly`` reduces to per-bucket counts before its global
+  ordered window; time buckets are bounded (hourly × years < 1e5
+  rows), so the single-task window is safe by construction.
+- ``fd_violations`` is two (det, dep)-granular aggregations plus a
+  det-granular window — all post-aggregation, corpus never shuffles
+  at row granularity more than once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# decimal(20,0) per side keeps products inside Spark's decimal(38,0)
+# without overflow up to ~1e18-row samples (BIGINT products would
+# overflow at n0*n1 > 9.2e18, i.e. ~3e9 rows per side).
+_DEC = "decimal(20,0)"
+
+
+def exact_ks_2samp(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic, in basis points.
+
+    ``group_col`` must be boolean-like (0/1 after cast); rows with a
+    null value or null group are dropped (KS is defined over observed
+    values). Returns ONE row ``(n_a, n_b, ks_bp)`` where
+    ``ks_bp = floor(10000 * max_v |CDF_a(v) - CDF_b(v)|)`` computed in
+    exact integer arithmetic (``|cum_a*n_b - cum_b*n_a|`` over a
+    common value grid), so any SQL engine reproduces it bit-for-bit —
+    the exact companion the t-digest KS estimate
+    (`drift.drift_verdicts`) is judged against.
+    """
+    g = F.col(group_col).cast("int")
+    counts = (
+        df.filter(F.col(value_col).isNotNull() & g.isNotNull())
+        .groupBy(F.col(value_col).alias("_v"))
+        .agg(
+            F.sum(F.when(g == 0, 1).otherwise(0)).alias("_ca"),
+            F.sum(F.when(g == 1, 1).otherwise(0)).alias("_cb"),
+        )
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        F.sum("_ca").over(w).cast(_DEC).alias("_cuma"),
+        F.sum("_cb").over(w).cast(_DEC).alias("_cumb"),
+    )
+    totals = counts.agg(
+        F.sum("_ca").cast(_DEC).alias("_na"),
+        F.sum("_cb").cast(_DEC).alias("_nb"),
+    )
+    joined = cum.crossJoin(F.broadcast(totals))
+    diff = F.abs(
+        F.col("_cuma") * F.col("_nb") - F.col("_cumb") * F.col("_na")
+    )
+    # `div` (integral division) on decimals is exact — a decimal `/`
+    # rounds to the result scale and the subsequent floor could flip
+    # at quotients within the rounding epsilon of an integer; DuckDB's
+    # HUGEINT `//` is the bit-exact twin
+    return joined.select(diff.alias("_d"), "_na", "_nb").agg(
+        F.max("_na").cast("long").alias("n_a"),
+        F.max("_nb").cast("long").alias("n_b"),
+        F.expr("CAST((max(_d) * 10000) div (max(_na) * max(_nb)) AS BIGINT)")
+        .alias("ks_bp"),
+    )
+
+
+def monotonicity_violations(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Rows where ``ts_col`` DECREASES along ``order_col`` within a
+    key — the ordering invariant of any append-only event/crawl log
+    (a violation means late re-ingest, clock skew, or a merge bug).
+
+    Returns ``(key, order, prev_order, ts, prev_ts)`` for each
+    violating row. Null timestamps never violate (3VL: the ``<``
+    comparison is null). One key-granular window exchange.
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    prev_ts = F.lag(ts_col).over(w)
+    prev_ord = F.lag(order_col).over(w)
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(order_col).alias("pos"),
+            prev_ord.alias("prev_pos"),
+            F.col(ts_col).alias("ts"),
+            prev_ts.alias("prev_ts"),
+        )
+        .filter(F.col("ts") < F.col("prev_ts"))
+    )
+
+
+def volume_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    bucket: str = "hour",
+    lookback: int = 24,
+    min_history: int = 12,
+    tol_pct: int = 50,
+) -> DataFrame:
+    """Per-time-bucket row-volume anomalies vs a trailing window.
+
+    Buckets ``ts_col`` with ``date_trunc(bucket)``, counts rows per
+    bucket, and flags buckets whose count deviates more than
+    ``tol_pct`` percent from the trailing ``lookback``-bucket mean
+    (only once ``min_history`` prior buckets exist — the warm-up rows
+    can't be judged). The comparison is exact integer arithmetic
+    (``cnt * n * 100`` vs ``sum * (100 ± tol)``), never a float mean.
+
+    Returns ``(bucket_ts, cnt, trail_sum, trail_n, direction)`` for
+    anomalous buckets, direction ∈ {'low', 'high'}.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(b.alias("bucket_ts"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bucket_ts").rowsBetween(-lookback, -1)
+    trail = counts.select(
+        "bucket_ts",
+        "cnt",
+        F.sum("cnt").over(w).alias("trail_sum"),
+        F.count("cnt").over(w).alias("trail_n"),
+    )
+    lhs = F.col("cnt") * F.col("trail_n") * 100
+    low = lhs < F.col("trail_sum") * (100 - tol_pct)
+    high = lhs > F.col("trail_sum") * (100 + tol_pct)
+    return (
+        trail.filter(F.col("trail_n") >= min_history)
+        .withColumn(
+            "direction",
+            F.when(low, F.lit("low")).when(high, F.lit("high")),
+        )
+        .filter(F.col("direction").isNotNull())
+    )
+
+
+def fd_violations(
+    df: DataFrame, det_col: str, dep_col: str
+) -> DataFrame:
+    """Functional-dependency conformance: report determinant values
+    for which ``det_col → dep_col`` does NOT hold.
+
+    For each violating determinant returns
+    ``(det, n_rows, n_dep_values, majority_dep, n_violations)`` where
+    ``majority_dep`` is the most frequent dependent value (ties broken
+    by dependent value ascending, nulls last — deterministic) and
+    ``n_violations`` counts rows disagreeing with it. Null dependents
+    group as a value (same semantics in Spark groupBy and SQL GROUP
+    BY), so ``det → NULL-vs-'en'`` splits are caught too.
+    """
+    pairs = (
+        df.groupBy(
+            F.col(det_col).alias("det"), F.col(dep_col).alias("dep")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("det").orderBy(
+        F.col("cnt").desc(), F.col("dep").asc_nulls_last()
+    )
+    ranked = pairs.select(
+        "det",
+        "dep",
+        "cnt",
+        F.row_number().over(w).alias("_rk"),
+        F.sum("cnt")
+        .over(Window.partitionBy("det"))
+        .alias("n_rows"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("det"))
+        .alias("n_dep_values"),
+    )
+    return (
+        ranked.filter((F.col("_rk") == 1) & (F.col("n_dep_values") > 1))
+        .select(
+            "det",
+            "n_rows",
+            "n_dep_values",
+            F.col("dep").alias("majority_dep"),
+            (F.col("n_rows") - F.col("cnt")).alias("n_violations"),
+        )
+    )
