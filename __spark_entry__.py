@@ -1601,6 +1601,50 @@ def q_substring_dedup(spark, sf_dir):
     )
 
 
+def q_categorical_tv(spark, sf_dir):
+    """Total-variation distance (basis points) between the lang
+    distributions of the even- and odd-doc_id halves — the categorical
+    drift companion of q_drift_ks for columns with no meaningful order
+    (lang/source/tld). One per-value count shuffle; exact decimal
+    cross-products."""
+    from py_schemax_spark.operators.profile import categorical_tv
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id").isNotNull()).select(
+        "lang", (F.col("doc_id") % 2).cast("int").alias("grp")
+    )
+    return categorical_tv(d, "lang", "grp")
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters over lang (values holding > 1/7 of the
+    corpus) — the deterministic ground truth a count-min/Misra-Gries
+    sketch approximates, bounded to ≤ 6 output rows by construction.
+    k=7 slices through the sf0.01 lang mix (en 43.6%, zh 15.0%,
+    es 14.6% qualify; de 14.0%, fr 12.8% fall under the strict >)."""
+    from py_schemax_spark.operators.profile import heavy_hitters
+
+    return heavy_hitters(_docs(spark, sf_dir), "lang", k=7)
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust MAD outliers over n_chars with planted absurd values
+    (doc_id % 101 == 7 scaled ×100 — shared arithmetic both engines):
+    rows where |v - median| > 5 × MAD, both medians exact lower
+    medians over the bounded per-value count table. The corpus is
+    never shuffled — scalars broadcast into one projection."""
+    from py_schemax_spark.operators.profile import mad_outliers
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 101 == 7, F.col("n_chars") * 100
+        )
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    return mad_outliers(d, "n_chars", "doc_id", k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window covers the
     queries that most need a fresh green row. Round 3's driver record
@@ -1613,8 +1657,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows-only variants whose oracled containment twins sit in blocks
     0-2, plus queries with 2-3 rounds of recorded green history
     (`passage_dedup`, `token_counts`, `lang_id`, `fingerprint`,
-    `dedup_keep_first` rotated down in round 4 — green in BOTH r02 and
-    r03 driver records)."""
+    `dedup_keep_first`, `exact_dedup`, `ngram_jaccard`, `ann_topk`
+    rotated down in round 4 — each green in BOTH the r02 and r03
+    driver records)."""
     return {
         # -- block 0: round-4 integrity + substring operators --
         "drift_ks": q_drift_ks,
@@ -1622,6 +1667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_anomaly": q_volume_anomaly,
         "fd_check": q_fd_check,
         "substring_dedup": q_substring_dedup,
+        "categorical_tv": q_categorical_tv,
+        "heavy_hitters": q_heavy_hitters,
+        "mad_outliers": q_mad_outliers,
         # -- block 1: round-3 curation operators (no r03 driver row) --
         "pii_scan": q_pii_scan,
         "dedup_clusters": q_dedup_clusters,
@@ -1659,12 +1707,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "drift_buckets": q_drift_buckets,
         "drift_grid_accuracy": q_drift_grid_accuracy,
-        "exact_dedup": q_exact_dedup,
         "minhash_containment": q_minhash_containment,
-        "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "ann_pairs": q_ann_pairs,
-        "ann_topk": q_ann_topk,
         "ann_lsh_containment": q_ann_lsh_containment,
         "ann_ivf_exact": q_ann_ivf_exact,
         "repetition_profile": q_repetition_profile,
@@ -1674,6 +1719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    queries with multi-round green history --
         "passage_dedup": q_passage_dedup,
         "dedup_keep_first": q_dedup_keep_first,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_topk": q_ann_topk,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -2407,6 +2455,73 @@ LEFT JOIN perdoc p USING (doc_id)
 LEFT JOIN dup u USING (doc_id)
 """
 
+    # categorical TV drift: same per-value counts, HUGEINT
+    # cross-products, integral `//`
+    categorical_tv_sql = """
+WITH d AS (
+  SELECT lang AS v, CAST(doc_id % 2 AS INT) AS grp
+  FROM documents WHERE doc_id IS NOT NULL
+),
+counts AS (
+  SELECT v,
+         SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS cb
+  FROM d GROUP BY v
+),
+tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS nv FROM counts)
+SELECT CAST(tot.na AS BIGINT) AS n_a,
+       CAST(tot.nb AS BIGINT) AS n_b,
+       CAST(tot.nv AS BIGINT) AS n_values,
+       CAST((SUM(ABS(counts.ca * tot.nb - counts.cb * tot.na)) * 10000)
+            // (2 * tot.na * tot.nb) AS BIGINT) AS tv_bp
+FROM counts, tot
+GROUP BY tot.na, tot.nb, tot.nv
+"""
+
+    # exact heavy hitters over lang, strict > 1/7 share
+    heavy_hitters_sql = """
+WITH counts AS (
+  SELECT CAST(lang AS VARCHAR) AS value, COUNT(*) AS cnt
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT SUM(cnt) AS n FROM counts)
+SELECT value, cnt, CAST(tot.n AS BIGINT) AS n_total,
+       CAST((cnt * 10000) // tot.n AS BIGINT) AS share_bp
+FROM counts, tot WHERE cnt * 7 > tot.n
+"""
+
+    # MAD outliers: same planted scaling, same exact lower medians
+    mad_outliers_sql = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 101 = 7 THEN n_chars * 100
+              ELSE n_chars END AS v
+  FROM documents
+),
+vals AS (SELECT doc_id, v FROM d WHERE v IS NOT NULL),
+counts AS (SELECT v, COUNT(*) AS c FROM vals GROUP BY v),
+med AS (
+  SELECT MIN(v) AS med FROM (
+    SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
+    FROM counts
+  ) WHERE cum * 2 >= n
+),
+devc AS (
+  SELECT ABS(v - med.med) AS dv, SUM(c) AS c
+  FROM counts, med GROUP BY 1
+),
+mad AS (
+  SELECT MIN(dv) AS mad FROM (
+    SELECT dv, SUM(c) OVER (ORDER BY dv) AS cum, SUM(c) OVER () AS n
+    FROM devc
+  ) WHERE cum * 2 >= n
+)
+SELECT vals.doc_id AS key, vals.v AS value, med.med AS med,
+       mad.mad AS mad
+FROM vals, med, mad
+WHERE ABS(vals.v - med.med) > 5 * mad.mad
+"""
+
     # line dedup: identical contract rebuilt in SQL — lines are
     # split(chr(10)), a line is boilerplate iff trimmed-non-empty and
     # present in >= 50 distinct docs, clean_text rejoins survivors in
@@ -3068,4 +3183,7 @@ WHERE 1 = 0
         "volume_anomaly": volume_anomaly_sql,
         "fd_check": fd_check_sql,
         "substring_dedup": substring_dedup_sql,
+        "categorical_tv": categorical_tv_sql,
+        "heavy_hitters": heavy_hitters_sql,
+        "mad_outliers": mad_outliers_sql,
     }

@@ -131,6 +131,26 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--json", dest="use_json", action="store_true")
     cu.add_argument("--master", default=None)
 
+    pr = sub.add_parser(
+        "profile",
+        help="spec-less table profile: per-column nulls/min/max, exact "
+             "heavy hitters, MAD outlier counts — the discovery pass "
+             "before writing a constraint spec",
+    )
+    pr.add_argument("table", help="parquet table path / warc: URI")
+    pr.add_argument("--columns", default=None,
+                    help="comma list (default: all non-binary columns)")
+    pr.add_argument("--hh-k", type=int, default=10,
+                    help="heavy-hitter threshold denominator: report "
+                         "values with > 1/k corpus share (default 10)")
+    pr.add_argument("--mad-k", type=int, default=5,
+                    help="MAD multiplier for numeric outliers (default 5)")
+    pr.add_argument("--key-col", default=None,
+                    help="key column labelling outlier rows (default: "
+                         "first profiled column)")
+    pr.add_argument("--json", dest="use_json", action="store_true")
+    pr.add_argument("--master", default=None)
+
     v = sub.add_parser("validate", help="validate table(s) against a spec")
     v.add_argument("tables", nargs="*", help="parquet table paths (or stdin)")
     v.add_argument("--spec", required=True, help="constraint spec file")
@@ -409,6 +429,64 @@ def curate_main(ns, spark=None) -> int:
             spark.stop()
 
 
+def profile_main(ns, spark=None) -> int:
+    """``profile TABLE``: bounded per-column discovery report (JSON or
+    text). Exit 2 on bad args (unknown column, k < 2), 0 otherwise —
+    profiling never judges, it only describes."""
+    import json as _json
+
+    from py_schemax_spark.operators.profile import profile_table
+
+    if ns.hh_k < 2 or ns.mad_k < 1:
+        print("error: --hh-k must be >= 2 and --mad-k >= 1",
+              file=sys.stderr)
+        return 2
+    cols = (
+        [c.strip() for c in ns.columns.split(",") if c.strip()]
+        if ns.columns else None
+    )
+    own_spark = spark is None
+    if own_spark:
+        from py_schemax_spark.session import get_spark
+
+        spark = get_spark(master=ns.master)
+    try:
+        try:
+            df = read_table(spark, ns.table)
+            rep = profile_table(
+                df, columns=cols, hh_k=ns.hh_k, mad_k=ns.mad_k,
+                key_col=ns.key_col,
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        except Exception as e:  # unreadable table (AnalysisException…)
+            print(f"❌ {ns.table}: {e}", file=sys.stderr)
+            return 2
+        rep["table"] = ns.table
+        if ns.use_json:
+            print(_json.dumps(rep))
+        else:
+            print(f"table {ns.table}: {rep['n_rows']} rows")
+            for c, info in rep["columns"].items():
+                line = (
+                    f"  {c} ({info['type']}): nulls={info['null_count']}"
+                    f" min={info['min']} max={info['max']}"
+                )
+                if "mad_outliers" in info:
+                    line += f" mad_outliers={info['mad_outliers']}"
+                print(line)
+                for h in info["heavy_hitters"]:
+                    print(
+                        f"    ▸ {h['value']!r}: {h['cnt']} rows "
+                        f"({h['share_bp']/100:.1f}%)"
+                    )
+        return 0
+    finally:
+        if own_spark:
+            spark.stop()
+
+
 def main(argv: Optional[list[str]] = None, spark=None) -> int:
     ns = build_parser().parse_args(argv)
     if ns.command == "check-specs":
@@ -417,6 +495,8 @@ def main(argv: Optional[list[str]] = None, spark=None) -> int:
         return diff_main(ns)
     if ns.command == "curate":
         return curate_main(ns, spark=spark)
+    if ns.command == "profile":
+        return profile_main(ns, spark=spark)
     try:
         cfg = resolve_config(
             {
