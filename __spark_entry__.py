@@ -1601,6 +1601,72 @@ def q_substring_dedup(spark, sf_dir):
     )
 
 
+def q_sequence_gaps(spark, sf_dir):
+    """Dense-id gap detection with planted holes (every doc_id % 37 ==
+    5 plus the run 100-105 — shared arithmetic both engines):
+    consecutive missing ids merge into one (gap_start, gap_end,
+    n_missing) row. bucket_size=64 exercises the two-phase shape
+    (inter-bucket value check + dirty-bucket-only intra windows) on
+    the 500-doc table."""
+    from py_schemax_spark.operators.integrity import sequence_gaps
+
+    d = _docs(spark, sf_dir).filter(
+        (F.col("doc_id") % 37 != 5)
+        & ~F.col("doc_id").between(100, 105)
+    )
+    return sequence_gaps(d, "doc_id", bucket_size=64)
+
+
+def q_snapshot_reconcile(spark, sf_dir):
+    """Cross-snapshot per-partition reconciliation with planted deltas
+    (shared construction both engines): prev = documents; cur drops
+    source 'src3' entirely (removed), drops doc_id % 7 == 2 rows
+    (shrunk where hit), re-appends all of src1 (grown), and re-labels
+    a copy of src2 as 'brand_new' (added). Partitions with identical
+    counts produce no row."""
+    from py_schemax_spark.operators.integrity import snapshot_reconcile
+
+    prev = _docs(spark, sf_dir)
+    base = prev.filter(
+        (F.col("source") != "src3") & (F.col("doc_id") % 7 != 2)
+    )
+    cur = (
+        base.unionByName(prev.filter(F.col("source") == "src1"))
+        .unionByName(
+            prev.filter(F.col("source") == "src2").withColumn(
+                "source", F.lit("brand_new")
+            )
+        )
+    )
+    return snapshot_reconcile(cur, prev, "source")
+
+
+def q_conditional_checks(spark, sf_dir):
+    """Table-level conditional CHECK constraints (round 4): the same
+    ANSI-SQL `when`/`expect` strings compile into the engine's fused
+    row projection AND run verbatim in the oracle — cross-column
+    constraints the reference's per-column vocabulary cannot express.
+    3VL: null `expect` in scope = violation; `when` null/false = out
+    of scope."""
+    spec = validate_spec_dict(
+        {
+            "fqn": "t.documents",
+            "key": "doc_id",
+            "columns": [
+                {"name": "doc_id", "type": "integer"},
+                {"name": "lang", "type": "string"},
+                {"name": "n_chars", "type": "integer"},
+            ],
+            "checks": [
+                {"name": "en_cap", "when": "lang = 'en'",
+                 "expect": "n_chars <= 450"},
+                {"name": "doc_nonneg", "expect": "doc_id >= 0"},
+            ],
+        }
+    ).spec
+    return row_violations(_docs(spark, sf_dir), spec)
+
+
 def q_categorical_tv(spark, sf_dir):
     """Total-variation distance (basis points) between the lang
     distributions of the even- and odd-doc_id halves — the categorical
@@ -1657,9 +1723,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows-only variants whose oracled containment twins sit in blocks
     0-2, plus queries with 2-3 rounds of recorded green history
     (`passage_dedup`, `token_counts`, `lang_id`, `fingerprint`,
-    `dedup_keep_first`, `exact_dedup`, `ngram_jaccard`, `ann_topk`
-    rotated down in round 4 — each green in BOTH the r02 and r03
-    driver records)."""
+    `dedup_keep_first`, `exact_dedup`, `ngram_jaccard`, `ann_topk`,
+    `minhash_containment`, `ann_pairs`, `drift_buckets` rotated down
+    in round 4 — each green in BOTH the r02 and r03 driver
+    records)."""
     return {
         # -- block 0: round-4 integrity + substring operators --
         "drift_ks": q_drift_ks,
@@ -1670,6 +1737,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorical_tv": q_categorical_tv,
         "heavy_hitters": q_heavy_hitters,
         "mad_outliers": q_mad_outliers,
+        "conditional_checks": q_conditional_checks,
+        "sequence_gaps": q_sequence_gaps,
+        "snapshot_reconcile": q_snapshot_reconcile,
         # -- block 1: round-3 curation operators (no r03 driver row) --
         "pii_scan": q_pii_scan,
         "dedup_clusters": q_dedup_clusters,
@@ -1705,11 +1775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_conformance": q_datetime_conformance,
         "tz_conformance": q_tz_conformance,
         "quantiles": q_quantiles,
-        "drift_buckets": q_drift_buckets,
         "drift_grid_accuracy": q_drift_grid_accuracy,
-        "minhash_containment": q_minhash_containment,
         "simhash": q_simhash,
-        "ann_pairs": q_ann_pairs,
         "ann_lsh_containment": q_ann_lsh_containment,
         "ann_ivf_exact": q_ann_ivf_exact,
         "repetition_profile": q_repetition_profile,
@@ -1722,6 +1789,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
+        "minhash_containment": q_minhash_containment,
+        "ann_pairs": q_ann_pairs,
+        "drift_buckets": q_drift_buckets,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -3186,4 +3256,63 @@ WHERE 1 = 0
         "categorical_tv": categorical_tv_sql,
         "heavy_hitters": heavy_hitters_sql,
         "mad_outliers": mad_outliers_sql,
+        # conditional checks: the spec's when/expect strings verbatim,
+        # 3VL exactly as CheckSpec documents
+        "conditional_checks": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'check.en_cap' AS constraint_id,
+       '(n_chars <= 450) = ' ||
+         CASE WHEN (n_chars <= 450) IS NULL THEN 'NULL'
+              ELSE CAST((n_chars <= 450) AS VARCHAR) END AS observed,
+       'n_chars <= 450 (when lang = ''en'')' AS expected
+FROM documents
+WHERE (lang = 'en') IS TRUE AND (n_chars <= 450) IS NOT TRUE
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'check.doc_nonneg',
+       '(doc_id >= 0) = ' ||
+         CASE WHEN (doc_id >= 0) IS NULL THEN 'NULL'
+              ELSE CAST((doc_id >= 0) AS VARCHAR) END,
+       'doc_id >= 0'
+FROM documents WHERE (doc_id >= 0) IS NOT TRUE
+""",
+        # sequence gaps: same planted holes, single-window formulation
+        # (the engine's two-phase bucket shape is result-identical)
+        "sequence_gaps": """
+WITH ids AS (
+  SELECT DISTINCT doc_id AS id FROM documents
+  WHERE doc_id IS NOT NULL AND doc_id % 37 <> 5
+    AND doc_id NOT BETWEEN 100 AND 105
+),
+l AS (SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM ids)
+SELECT prev + 1 AS gap_start, id - 1 AS gap_end,
+       id - prev - 1 AS n_missing
+FROM l WHERE prev IS NOT NULL AND id > prev + 1
+""",
+        # snapshot reconcile: same planted snapshot construction
+        "snapshot_reconcile": """
+WITH cur AS (
+  SELECT source FROM documents
+  WHERE source <> 'src3' AND doc_id % 7 <> 2
+  UNION ALL
+  SELECT source FROM documents WHERE source = 'src1'
+  UNION ALL
+  SELECT 'brand_new' AS source FROM documents WHERE source = 'src2'
+),
+cc AS (SELECT source AS part, COUNT(*) AS c FROM cur GROUP BY 1),
+pc AS (SELECT source AS part, COUNT(*) AS p FROM documents GROUP BY 1),
+j AS (
+  SELECT coalesce(cc.part, pc.part) AS part, cc.c AS c, pc.p AS p
+  FROM cc FULL OUTER JOIN pc ON cc.part IS NOT DISTINCT FROM pc.part
+)
+SELECT part,
+       CAST(coalesce(p, 0) AS BIGINT) AS rows_prev,
+       CAST(coalesce(c, 0) AS BIGINT) AS rows_cur,
+       CAST(coalesce(c, 0) - coalesce(p, 0) AS BIGINT) AS delta,
+       CASE WHEN p IS NULL THEN 'added'
+            WHEN c IS NULL THEN 'removed'
+            WHEN c < p THEN 'shrunk'
+            WHEN c > p THEN 'grown' END AS status
+FROM j
+WHERE p IS NULL OR c IS NULL OR c <> p
+""",
     }

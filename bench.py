@@ -430,7 +430,8 @@ def main() -> None:
         "corpus_mix", "semdedup",
         "drift_ks", "monotonicity", "volume_anomaly", "fd_check",
         "substring_dedup", "categorical_tv", "heavy_hitters",
-        "mad_outliers",
+        "mad_outliers", "conditional_checks", "sequence_gaps",
+        "snapshot_reconcile",
     ]
     queries = entrymod.queries()
     from py_schemax_spark.operators.dedup import (

@@ -1,13 +1,14 @@
 """Dataset-integrity checks: exact two-sample KS drift, per-key
-monotonicity, rolling volume anomalies, and functional-dependency
-conformance.
+monotonicity, rolling volume anomalies, functional-dependency
+conformance, dense-id sequence gaps, and cross-snapshot
+reconciliation.
 
 No reference analogue — the reference (`/root/reference/validator.py`)
 validates one file's metadata at a time and has no cross-row or
 cross-snapshot vocabulary; these are the table-level integrity checks
 the north star's validation tier needs on a production crawl ingest
 (is today's partition the same distribution / volume / ordering /
-dependency structure as yesterday's?). All four are integer-exact by
+dependency structure as yesterday's?). All are integer-exact by
 construction so a SQL engine reproduces them hash-identically.
 
 Scale shapes (the part that must survive 10^12 rows):
@@ -163,6 +164,75 @@ def volume_anomaly(
     )
 
 
+def sequence_gaps(
+    df: DataFrame, id_col: str, bucket_size: int = 100_000
+) -> DataFrame:
+    """Missing runs in a dense integer id space — dropped batches /
+    lost files show up as ``(gap_start, gap_end, n_missing)`` rows
+    (consecutive missing ids merge into one row). Null ids are
+    ignored; duplicate ids are harmless (a gap is a VALUE hole).
+
+    Two-phase shape (never a global window over the corpus):
+
+    1. per-BUCKET aggregation (``floor(id / bucket_size)``) with
+       map-side combine → ``(bucket, n_distinct, min, max)``; the one
+       corpus-granular exchange.
+    2. bucket-granular work only: inter-bucket gaps via ONE ordered
+       window over the (corpus/bucket_size)-row bucket table —
+       value-based (``min > prev_max + 1``), so fully-empty buckets
+       are spanned correctly; in-bucket gaps re-scan ONLY the dirty
+       buckets (``n_distinct != max - min + 1``) with a window
+       PARTITIONED by bucket, so no single task ever sorts more than
+       one bucket's ids.
+    """
+    # integral `div`, not floor(a/b): the double round-trip loses
+    # exactness past 2^53 — ids at 10^18 would land in wrong buckets.
+    # (div truncates toward zero, so bucket 0 spans -(B-1)..B-1 when
+    # negatives exist — still contiguous, ordered, non-overlapping
+    # ranges, which is all the algorithm needs.)
+    ids = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.expr(f"`{id_col}` div {int(bucket_size)}").alias("_b"),
+        )
+    )
+    per_bucket = ids.groupBy("_b").agg(
+        F.count_distinct(F.col("_id")).alias("_nd"),
+        F.min("_id").alias("_mn"),
+        F.max("_id").alias("_mx"),
+    )
+    wb = Window.orderBy("_b")
+    inter = (
+        per_bucket.select(
+            "_mn", F.lag("_mx").over(wb).alias("_pmx")
+        )
+        .filter(F.col("_pmx").isNotNull() & (F.col("_mn") > F.col("_pmx") + 1))
+        .select(
+            (F.col("_pmx") + 1).alias("gap_start"),
+            (F.col("_mn") - 1).alias("gap_end"),
+        )
+    )
+    dirty = per_bucket.filter(
+        F.col("_nd") != F.col("_mx") - F.col("_mn") + 1
+    ).select("_b")
+    wi = Window.partitionBy("_b").orderBy("_id")
+    intra = (
+        ids.join(dirty, "_b")
+        .select("_b", "_id", F.lag("_id").over(wi).alias("_prev"))
+        .filter(F.col("_prev").isNotNull() & (F.col("_id") > F.col("_prev") + 1))
+        .select(
+            (F.col("_prev") + 1).alias("gap_start"),
+            (F.col("_id") - 1).alias("gap_end"),
+        )
+    )
+    return inter.unionByName(intra).select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1).alias("n_missing"),
+    )
+
+
 def fd_violations(
     df: DataFrame, det_col: str, dep_col: str
 ) -> DataFrame:
@@ -207,4 +277,60 @@ def fd_violations(
             F.col("dep").alias("majority_dep"),
             (F.col("n_rows") - F.col("cnt")).alias("n_violations"),
         )
+    )
+
+
+def snapshot_reconcile(
+    cur: DataFrame,
+    prev: DataFrame,
+    partition_col: str,
+) -> DataFrame:
+    """Cross-snapshot reconciliation: per-partition row-count deltas
+    between today's snapshot and yesterday's — the admission check a
+    daily crawl ingest runs before promoting a snapshot (the
+    north-star's "compared against a baseline snapshot" applied to
+    VOLUME rather than distribution; `volume_anomaly` is the
+    within-snapshot twin).
+
+    Returns one row per DIFFERING partition:
+    ``(part, rows_prev, rows_cur, delta, status)`` with status ∈
+    {'added', 'removed', 'shrunk', 'grown'} — 'removed' and 'shrunk'
+    are the data-loss signals. Identical partitions produce no row, so
+    the output is bounded by the change set. Null partition values
+    group as one ordinary partition (both engines agree).
+
+    Scale shape: each snapshot reduces to per-partition counts first
+    (ONE corpus-granular exchange each, map-side combined); the
+    full-outer join runs at partition granularity — bounded.
+    """
+    def counts(df: DataFrame, part_alias: str, alias: str) -> DataFrame:
+        return df.groupBy(
+            F.col(partition_col).alias(part_alias)
+        ).agg(F.count(F.lit(1)).alias(alias))
+
+    cc = counts(cur, "_cp", "_cur")
+    pc = counts(prev, "_pp", "_prev")
+    # eqNullSafe, not a USING join: plain join keys never match null,
+    # which would split a null partition into a spurious added+removed
+    # pair instead of one compared row
+    j = cc.join(
+        pc, cc["_cp"].eqNullSafe(pc["_pp"]), "full_outer"
+    ).withColumn("part", F.coalesce("_cp", "_pp"))
+    rows_prev = F.coalesce("_prev", F.lit(0))
+    rows_cur = F.coalesce("_cur", F.lit(0))
+    status = (
+        F.when(F.col("_prev").isNull(), F.lit("added"))
+        .when(F.col("_cur").isNull(), F.lit("removed"))
+        .when(rows_cur < rows_prev, F.lit("shrunk"))
+        .when(rows_cur > rows_prev, F.lit("grown"))
+    )
+    return (
+        j.select(
+            "part",
+            rows_prev.alias("rows_prev"),
+            rows_cur.alias("rows_cur"),
+            (rows_cur - rows_prev).alias("delta"),
+            status.alias("status"),
+        )
+        .filter(F.col("status").isNotNull())
     )

@@ -247,6 +247,35 @@ def compile_row_constraints(
                     f"{cs.name} has at most {cs.precision} decimal places",
                 )
             )
+
+    # table-level conditional checks (CheckSpec): fuse into the same
+    # projection — a spec with 50 checks still costs ONE scan. 3VL per
+    # CheckSpec's contract: row in scope iff `when` is TRUE; in-scope
+    # rows violate iff `expect` is not TRUE (null expect = violation:
+    # an unverifiable expectation is not a verified one). `observed`
+    # renders the expect expression's actual value (false/NULL).
+    for chk in spec.checks:
+        expect_c = F.expr(chk.expect)
+        not_ok = ~expect_c.eqNullSafe(F.lit(True))
+        pred = (
+            F.expr(chk.when).eqNullSafe(F.lit(True)) & not_ok
+            if chk.when
+            else not_ok
+        )
+        expected = (
+            f"{chk.expect} (when {chk.when})" if chk.when else chk.expect
+        )
+        out.append(
+            RowConstraint(
+                f"check.{chk.name}",
+                pred,
+                _obs(F.concat(
+                    F.lit(f"({chk.expect}) = "),
+                    F.coalesce(expect_c.cast("string"), F.lit("NULL")),
+                )),
+                expected,
+            )
+        )
     return out
 
 

@@ -21,6 +21,7 @@ resolved here at load time instead of rebuilding Pydantic models.
 from __future__ import annotations
 
 import json
+import re
 from pathlib import Path
 from typing import Any, Iterable, Optional
 
@@ -29,6 +30,7 @@ from py_schemax_spark.specs.model import (
     EXT_ATTRS,
     SUPPORTED_TYPES,
     TYPE_ATTRS,
+    CheckSpec,
     ColumnSpec,
     DriftSpec,
     ExtractionSpec,
@@ -59,6 +61,8 @@ _NUMERIC_FIELDS = {"min_length", "max_length", "minimum", "maximum", "precision"
 _STR_FIELDS = {"name", "description", "pattern", "format", "timezone", "fqn",
                "version"}
 _BOOL_FIELDS = {"unique", "primary_key", "nullable"}
+
+_CHECK_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.-]*$")
 
 
 def _msg_missing(key: str) -> str:
@@ -110,6 +114,7 @@ def validate_spec_dict(
     top_allowed = {
         "fqn", "name", "description", "version", "columns", "metadata",
         "tags", "depends_on", "dependents", "key", "extraction",
+        "checks",
     }
     for k in data:
         if k not in top_allowed:
@@ -234,6 +239,62 @@ def validate_spec_dict(
         )
         extraction = None
 
+    checks: list[CheckSpec] = []
+    raw_checks = data.get("checks")
+    if raw_checks is not None and not isinstance(raw_checks, list):
+        errors.append(
+            SpecError("list_type", "$.checks", _msg_type("checks", "list"))
+        )
+        raw_checks = []
+    seen_check_names: set[str] = set()
+    for i, chk in enumerate(raw_checks or []):
+        loc = f"$.checks[{i}]"
+        if not isinstance(chk, dict):
+            errors.append(
+                SpecError("model_type", loc, "Check must be a mapping.")
+            )
+            continue
+        n_before = len(errors)
+        for k in chk:
+            if k not in ("name", "when", "expect"):
+                errors.append(
+                    SpecError("extra_forbidden", f"{loc}.{k}", _msg_extra(k))
+                )
+        for k in ("name", "expect"):
+            if k not in chk or chk[k] is None:
+                errors.append(
+                    SpecError("missing", f"{loc}.{k}", _msg_missing(k))
+                )
+        for k in ("name", "when", "expect"):
+            if chk.get(k) is not None and not isinstance(chk[k], str):
+                errors.append(
+                    SpecError("string_type", f"{loc}.{k}",
+                              _msg_type(k, "string"))
+                )
+        name = chk.get("name")
+        if isinstance(name, str) and not _CHECK_NAME_RE.match(name):
+            errors.append(
+                SpecError(
+                    "string_pattern_mismatch", f"{loc}.name",
+                    "Check name must match [A-Za-z_][A-Za-z0-9_.-]* "
+                    "(it becomes the constraint_id 'check.<name>').",
+                )
+            )
+        elif isinstance(name, str) and name in seen_check_names:
+            errors.append(
+                SpecError(
+                    "value_error", f"{loc}.name",
+                    f"Duplicate check name '{name}' "
+                    "(constraint_ids must be unique).",
+                )
+            )
+        if len(errors) > n_before:
+            continue
+        seen_check_names.add(name)
+        checks.append(
+            CheckSpec(name=name, expect=chk["expect"], when=chk.get("when"))
+        )
+
     if errors:
         return SpecValidationResult(
             file_path=file_path, valid=False, errors=tuple(errors)
@@ -255,6 +316,7 @@ def validate_spec_dict(
         )
         if extraction is not None
         else None,
+        checks=tuple(checks),
     )
     return SpecValidationResult(file_path=file_path, valid=True, spec=spec)
 

@@ -123,6 +123,26 @@ class ExtractionSpec:
 
 
 @dataclass(frozen=True)
+class CheckSpec:
+    """Table-level conditional check: ``expect`` must hold on every
+    row where ``when`` holds (both ANSI-SQL boolean expressions, so
+    the same spec text runs on any engine). No reference analogue —
+    the reference's vocabulary is per-column attributes only; this is
+    the cross-column CHECK-constraint class (dbt tests /
+    expectations): e.g. when="lang = 'en'", expect="n_chars <= 500".
+
+    3VL contract: a row is a VIOLATION iff ``when`` is TRUE (absent
+    ``when`` = always applicable) AND ``expect`` is not TRUE — a null
+    ``expect`` (e.g. comparing a null column) violates, because an
+    unverifiable expectation is not a verified one; rows where
+    ``when`` is null/false are out of scope entirely."""
+
+    name: str
+    expect: str
+    when: Optional[str] = None
+
+
+@dataclass(frozen=True)
 class TableSpec:
     """Analogue of DatasetSchema (reference schema/models.py:112-150):
     fqn/name/description/version/columns/metadata/tags/depends_on."""
@@ -141,6 +161,8 @@ class TableSpec:
     key: Optional[str] = None
     # per-row extraction invariant (html → text), None = not checked
     extraction: Optional[ExtractionSpec] = None
+    # table-level conditional checks (cross-column row predicates)
+    checks: tuple[CheckSpec, ...] = ()
 
     def column(self, name: str) -> ColumnSpec:
         for c in self.columns:

@@ -228,3 +228,75 @@ def test_ks_single_partition_window_is_post_aggregation(spark):
     assert "Window" in plan
     # partial aggregation (map-side combine) precedes the shuffle
     assert "partial" in plan.lower()
+
+
+class TestSequenceGaps:
+    def _gaps(self, spark, ids, bucket_size=10):
+        from py_schemax_spark.operators.integrity import sequence_gaps
+
+        df = spark.createDataFrame([(i,) for i in ids], "id: long")
+        return sorted(
+            (r.gap_start, r.gap_end, r.n_missing)
+            for r in sequence_gaps(df, "id", bucket_size).collect()
+        )
+
+    def test_intra_and_inter_bucket_gaps(self, spark):
+        # bucket_size=10: ids 0..4, 7..9 (gap 5-6 inside bucket 0),
+        # then 30..31 (buckets 1,2 empty: gap 10-29 spans them)
+        ids = [0, 1, 2, 3, 4, 7, 8, 9, 30, 31]
+        assert self._gaps(spark, ids) == [(5, 6, 2), (10, 29, 20)]
+
+    def test_consecutive_missing_merge(self, spark):
+        ids = [0, 1, 5, 6]
+        assert self._gaps(spark, ids) == [(2, 4, 3)]
+
+    def test_duplicates_and_nulls_ignored(self, spark):
+        from py_schemax_spark.operators.integrity import sequence_gaps
+
+        rows = [(0,), (0,), (1,), (None,), (3,), (3,)]
+        df = spark.createDataFrame(rows, "id: long")
+        got = [(r.gap_start, r.gap_end) for r in
+               sequence_gaps(df, "id", 10).collect()]
+        assert got == [(2, 2)]
+
+    def test_dense_space_no_gaps(self, spark):
+        assert self._gaps(spark, list(range(25)), bucket_size=7) == []
+
+    def test_gap_at_bucket_boundary(self, spark):
+        # 9 present, 10 missing, 11 present: the hole sits exactly on
+        # the bucket edge → caught by the INTER-bucket value check
+        assert self._gaps(spark, [8, 9, 11]) == [(10, 10, 1)]
+
+
+class TestSnapshotReconcile:
+    def test_all_statuses(self, spark):
+        from py_schemax_spark.operators.integrity import snapshot_reconcile
+
+        prev = spark.createDataFrame(
+            [("a",)] * 3 + [("b",)] * 2 + [("gone",)] + [("same",)] * 4,
+            "p: string",
+        )
+        cur = spark.createDataFrame(
+            [("a",)] * 5 + [("b",)] * 1 + [("new",)] * 2 + [("same",)] * 4,
+            "p: string",
+        )
+        got = {
+            r.part: (r.rows_prev, r.rows_cur, r.delta, r.status)
+            for r in snapshot_reconcile(cur, prev, "p").collect()
+        }
+        assert got == {
+            "a": (3, 5, 2, "grown"),
+            "b": (2, 1, -1, "shrunk"),
+            "gone": (1, 0, -1, "removed"),
+            "new": (0, 2, 2, "added"),
+        }
+        assert "same" not in got
+
+    def test_null_partition_is_a_partition(self, spark):
+        from py_schemax_spark.operators.integrity import snapshot_reconcile
+
+        prev = spark.createDataFrame([(None,), ("x",)], "p: string")
+        cur = spark.createDataFrame([(None,), (None,), ("x",)], "p: string")
+        got = {r.part: r.status
+               for r in snapshot_reconcile(cur, prev, "p").collect()}
+        assert got == {None: "grown"}

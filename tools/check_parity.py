@@ -1,6 +1,7 @@
 """Standalone mirror of the driver correctness gate at any SF.
 
-Usage: python tools/check_parity.py [sf_dir]   (default sf0.01)
+Usage: python tools/check_parity.py [sf_dir] [--only q1,q2,...]
+(sf_dir defaults to sf0.01)
 
 Runs every ``queries()`` entry on Spark and, where an ``oracle_sql()``
 entry exists, the oracle on DuckDB over the same parquet; compares
@@ -42,7 +43,13 @@ def _normalize(v):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     spark = get_spark(app_name="parity-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -51,6 +58,12 @@ def main() -> int:
     from py_schemax_spark.operators.dedup import release_all_intermediates
 
     queries = entrymod.queries()
+    if only is not None:
+        missing = only - set(queries)
+        if missing:
+            print(f"unknown queries: {sorted(missing)}")
+            return 1
+        queries = {k: v for k, v in queries.items() if k in only}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, q in queries.items():
