@@ -1711,6 +1711,102 @@ def q_mad_outliers(spark, sf_dir):
     return mad_outliers(d, "n_chars", "doc_id", k=5)
 
 
+def q_approx_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy hitters (sketch candidates + exact confirm):
+    same rows as q_heavy_hitters — the MG sketch provably cannot miss
+    a true > 1/k value (pigeonhole over partitions) and the confirm
+    pass drops over-generation, so the EXACT heavy-hitters SQL is the
+    oracle. Scale difference: the corpus is never shuffled at value
+    granularity — candidates come from a zero-shuffle mapInPandas
+    pass, the confirm aggregation collapses non-candidates into one
+    group map-side."""
+    from py_schemax_spark.operators.sketches import approx_heavy_hitters
+
+    return approx_heavy_hitters(_docs(spark, sf_dir), "lang", k=7)
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-group document cap (RefinedWeb-style: the Zipf head must
+    not dominate the mixture): keep at most 15 docs per source, chosen
+    deterministically by (md5(doc_id), doc_id). Skew-aware shape:
+    under-cap groups pass through an anti-join against the broadcast
+    over-cap set (no sort, no corpus exchange); only over-cap rows are
+    ranked, salted two-level so a hot group never serializes into one
+    task. Oracle = the single-window row_number SQL (boundary-
+    invariant, so the shapes agree exactly)."""
+    from py_schemax_spark.operators.sampling import cap_per_group
+
+    return cap_per_group(
+        _docs(spark, sf_dir), "source", "doc_id", 15
+    ).select("doc_id", "source")
+
+
+def q_bloom_decontam(spark, sf_dir):
+    """Containment oracle for the Bloom decontamination scale path: a
+    Bloom filter has NO false negatives, so every exactly-contaminated
+    document (q_decontam's contract, same benchmark = doc_id % 97 == 0)
+    MUST be flagged by the bloom pass. Returns exact-contaminated docs
+    NOT bloom-flagged; the oracle is the empty set (any row = a real
+    bitmap/hash bug)."""
+    from py_schemax_spark.operators.decontam import (
+        bloom_contamination_report,
+        contamination_report,
+    )
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    exact = (
+        contamination_report(d, bench, text_col="text", key_col="doc_id")
+        .filter("contaminated")
+        .select("doc_id")
+    )
+    maybe = (
+        bloom_contamination_report(
+            d, bench, text_col="text", key_col="doc_id"
+        )
+        .filter("contaminated_maybe")
+        .select("doc_id")
+    )
+    return exact.join(maybe, "doc_id", "left_anti")
+
+
+def q_mojibake(spark, sf_dir):
+    """Encoding-anomaly scan with planted mojibake (the corpus is
+    clean, so artifacts are planted as pure functions of doc_id with
+    the identical chr() construction in the DuckDB oracle): Latin-1
+    2-byte damage on doc_id % 41 == 3, cp1252 3-byte damage (curly
+    quote) on % 43 == 5, U+FFFD on % 47 == 7, a bare C1 control on
+    % 53 == 9. Both engines count with the same lookaround-free
+    character-class patterns."""
+    from py_schemax_spark.operators.normalize import encoding_anomalies
+
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            # coalesce BEFORE planting (null-propagating concat would
+            # silently skip planting on null-text docs; the oracle
+            # plants onto coalesce(text, '') identically)
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 41 == 3,
+                F.lit(" caf\u00c3\u00a9"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 43 == 5,
+                F.lit(" \u00e2\u20ac\u2122"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 47 == 7, F.lit(" \ufffd")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 53 == 9, F.lit(" \u0085")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return encoding_anomalies(planted, text_col="text", key_col="doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window covers the
     queries that most need a fresh green row. Round 3's driver record
@@ -1728,6 +1824,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in round 4 — each green in BOTH the r02 and r03 driver
     records)."""
     return {
+        # -- block -1: round-4 session-2 operators (newest first) --
+        "approx_heavy_hitters": q_approx_heavy_hitters,
+        "domain_cap": q_domain_cap,
+        "bloom_decontam": q_bloom_decontam,
+        "mojibake": q_mojibake,
         # -- block 0: round-4 integrity + substring operators --
         "drift_ks": q_drift_ks,
         "monotonicity": q_monotonicity,
@@ -1777,13 +1878,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "drift_grid_accuracy": q_drift_grid_accuracy,
         "simhash": q_simhash,
+        # ---- 50-entry window boundary (driver records up to here) ----
+        # -- block 3: rows-only variants (oracled twins above) and
+        #    queries with multi-round green history (the four rotated
+        #    below in round-4 session 2 — ann_lsh_containment,
+        #    ann_ivf_exact, repetition_profile, image_meta_ppm — are
+        #    each green in the r03 driver record) --
         "ann_lsh_containment": q_ann_lsh_containment,
         "ann_ivf_exact": q_ann_ivf_exact,
         "repetition_profile": q_repetition_profile,
         "image_meta_ppm": q_image_meta_ppm,
-        # ---- 50-entry window boundary (driver records up to here) ----
-        # -- block 3: rows-only variants (oracled twins above) and
-        #    queries with multi-round green history --
         "passage_dedup": q_passage_dedup,
         "dedup_keep_first": q_dedup_keep_first,
         "exact_dedup": q_exact_dedup,
@@ -2592,6 +2696,49 @@ FROM vals, med, mad
 WHERE ABS(vals.v - med.med) > 5 * mad.mad
 """
 
+    # mojibake: identical planting (chr() codepoints) and identical
+    # lookaround-free character-class patterns, imported from the
+    # operator module so both engines compile the same source string
+    from py_schemax_spark.operators.normalize import (
+        _C1_PAT,
+        _FFFD_PAT,
+        _MB2_PAT,
+        _MB3_PAT,
+    )
+
+    mojibake_sql = f"""
+WITH planted AS (
+  SELECT doc_id,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 41 = 3
+                 THEN ' caf' || chr(195) || chr(169) ELSE '' END
+         || CASE WHEN doc_id % 43 = 5
+                 THEN ' ' || chr(226) || chr(8364) || chr(8482)
+                 ELSE '' END
+         || CASE WHEN doc_id % 47 = 7
+                 THEN ' ' || chr(65533) ELSE '' END
+         || CASE WHEN doc_id % 53 = 9
+                 THEN ' ' || chr(133) ELSE '' END
+         AS t
+  FROM documents
+),
+counted AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '{_MB2_PAT}')) AS BIGINT)
+           AS n_mb2,
+         CAST(len(regexp_extract_all(t, '{_MB3_PAT}')) AS BIGINT)
+           AS n_mb3,
+         CAST(len(regexp_extract_all(t, '{_FFFD_PAT}')) AS BIGINT)
+           AS n_fffd,
+         CAST(len(regexp_extract_all(t, '{_C1_PAT}')) AS BIGINT)
+           AS n_c1
+  FROM planted
+)
+SELECT doc_id, n_mb2, n_mb3, n_fffd, n_c1,
+       (n_mb2 > 0 OR n_mb3 > 0 OR n_fffd > 0 OR n_c1 > 0) AS mojibake
+FROM counted
+"""
+
     # line dedup: identical contract rebuilt in SQL — lines are
     # split(chr(10)), a line is boilerplate iff trimmed-non-empty and
     # present in >= 50 distinct docs, clean_text rejoins survivors in
@@ -3255,6 +3402,28 @@ WHERE 1 = 0
         "substring_dedup": substring_dedup_sql,
         "categorical_tv": categorical_tv_sql,
         "heavy_hitters": heavy_hitters_sql,
+        # the sketch path's confirm pass makes it row-identical to the
+        # exact ground truth — SAME oracle SQL (the approximation is
+        # confined to candidate generation, provably one-sided)
+        "approx_heavy_hitters": heavy_hitters_sql,
+        # per-group cap: the boundary-invariant single-window twin of
+        # the engine's skew-aware anti-join + salted two-level ranking
+        "domain_cap": """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, row_number() OVER (
+    PARTITION BY source
+    ORDER BY md5(coalesce(CAST(doc_id AS VARCHAR), chr(1))),
+             coalesce(CAST(doc_id AS VARCHAR), chr(1))
+  ) AS rn FROM documents
+) WHERE rn <= 15
+""",
+        # bloom decontamination containment: a Bloom filter cannot
+        # produce false negatives, so exact-contaminated minus
+        # bloom-flagged is the empty relation
+        "bloom_decontam": """
+SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0
+""",
+        "mojibake": mojibake_sql,
         "mad_outliers": mad_outliers_sql,
         # conditional checks: the spec's when/expect strings verbatim,
         # 3VL exactly as CheckSpec documents

@@ -432,6 +432,8 @@ def main() -> None:
         "substring_dedup", "categorical_tv", "heavy_hitters",
         "mad_outliers", "conditional_checks", "sequence_gaps",
         "snapshot_reconcile",
+        "approx_heavy_hitters", "domain_cap", "bloom_decontam",
+        "mojibake",
     ]
     queries = entrymod.queries()
     from py_schemax_spark.operators.dedup import (

@@ -128,3 +128,138 @@ def contamination_report(
         )
         .withColumn("contaminated", F.col("n_overlap") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter scale path
+#
+# `contamination_report` broadcasts the benchmark's DISTINCT md5 set —
+# right for MB-scale benchmarks, wrong when the "benchmark" is itself
+# large (a held-out eval corpus, a licensing blocklist of books: 10^9
+# n-grams × 32-hex strings ≈ 70 GB of broadcast strings + a Python
+# set). A Bloom filter holds the same membership surface in
+# ``-n·ln(fpp)/ln(2)²`` BITS (10^9 n-grams at 1% fpp ≈ 1.2 GB — an
+# executor-feasible broadcast), at the cost of false POSITIVES only:
+# a bloom-flagged doc may be clean, a bloom-clean doc is PROVABLY
+# clean. That direction is the safe one for decontamination (drop or
+# re-check flagged docs; never ship a contaminated one), and it gives
+# the containment oracle: exact-contaminated ∖ bloom-flagged ≡ ∅.
+
+_BLOOM_HASHES = 7  # k = m/n·ln2 at m/n ≈ 9.6 bits/item (fpp ≈ 1%)
+
+
+def _bloom_positions(hex_digest: str, m_bits: int) -> list[int]:
+    """k bit positions from one md5 hex digest via double hashing
+    (Kirsch & Mitzenmacher 2006): pos_i = (h1 + i·h2) mod m with h1/h2
+    the two 64-bit halves — deterministic across engines and runs."""
+    h1 = int(hex_digest[:16], 16)
+    h2 = int(hex_digest[16:32], 16)
+    return [(h1 + i * h2) % m_bits for i in range(_BLOOM_HASHES)]
+
+
+def build_ngram_bloom(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    m_bits: int | None = None,
+    bits_per_item: int = 10,
+):
+    """Bloom bitmap (numpy uint8 array, length m_bits/8) over the
+    benchmark's distinct token-n-gram md5 set. Built DISTRIBUTED: each
+    partition of the distinct-hash table sets bits into its own
+    partial bitmap inside `mapInPandas`; the driver ORs the per-
+    partition bitmaps (one m/8-byte row each — bounded by the hash
+    table's partition count, not its rows). ``m_bits`` defaults to
+    ``bits_per_item × distinct-n-gram-count`` (≈1% fpp at 10), sized
+    by one count over the distinct-hash table."""
+    import numpy as np
+    import pyspark.sql.types as T2
+
+    hashes = benchmark_ngram_hashes(benchmark, text_col=text_col, n=n)
+    if m_bits is None:
+        n_items = hashes.count()
+        m_bits = max(64, bits_per_item * n_items)
+    m = int(m_bits)
+
+    def set_bits(batches):
+        bitmap = np.zeros(m // 8 + 1, dtype=np.uint8)
+        any_rows = False
+        for batch in batches:
+            for hx in batch["h"]:
+                any_rows = True
+                for pos in _bloom_positions(hx, m):
+                    bitmap[pos >> 3] |= 1 << (pos & 7)
+        if any_rows:
+            yield pd.DataFrame({"bm": [bitmap.tobytes()]})
+
+    partials = hashes.mapInPandas(
+        set_bits, schema=T2.StructType([T2.StructField("bm", T2.BinaryType())])
+    ).collect()
+    bitmap = np.zeros(m // 8 + 1, dtype=np.uint8)
+    for row in partials:
+        bitmap |= np.frombuffer(row["bm"], dtype=np.uint8)
+    return bitmap, m
+
+
+def bloom_contamination_report(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    m_bits: int | None = None,
+) -> DataFrame:
+    """`contamination_report` with a Bloom membership surface instead
+    of the exact broadcast hash set: returns ``(key_col, n_total,
+    n_maybe, contaminated_maybe)`` where ``contaminated_maybe`` is
+    TRUE for every exactly-contaminated document (no false negatives —
+    the containment invariant the `bloom_decontam` oracle pins) and
+    may be true for ≈fpp of clean ones. Corpus side: ONE Arrow pass
+    computing n-gram hashes and testing them in-row against the
+    broadcast bitmap — no explode, no join, zero corpus exchanges
+    (the output aggregation is per-doc rows already)."""
+    import numpy as np
+
+    bitmap, m = build_ngram_bloom(
+        benchmark,
+        text_col=bench_text_col or text_col,
+        n=n,
+        m_bits=m_bits,
+    )
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(bitmap.tobytes())
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("n_total", T.LongType()),
+                T.StructField("n_maybe", T.LongType()),
+            ]
+        )
+    )
+    def score(texts: pd.Series) -> pd.DataFrame:
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        totals, maybes = [], []
+        for t in texts:
+            hs = _ngram_hashes(t, n)
+            hit = 0
+            for hx in hs:
+                if all(
+                    bm[p >> 3] & (1 << (p & 7))
+                    for p in _bloom_positions(hx, m)
+                ):
+                    hit += 1
+            totals.append(len(hs))
+            maybes.append(hit)
+        return pd.DataFrame({"n_total": totals, "n_maybe": maybes})
+
+    out = df.select(
+        F.col(key_col), score(F.col(text_col)).alias("_s")
+    )
+    return out.select(
+        key_col,
+        F.col("_s.n_total").alias("n_total"),
+        F.col("_s.n_maybe").alias("n_maybe"),
+        (F.col("_s.n_maybe") > 0).alias("contaminated_maybe"),
+    )

@@ -122,3 +122,75 @@ def normalize_py(v: str | None) -> str | None:
     n = re.sub(r"[ \t]+", " ", n)
     n = re.sub(r"\A[ \t\n\r\f]+", "", n)
     return re.sub(r"[ \t\n\r\f]+\Z", "", n)
+
+
+# ---------------------------------------------------------------------------
+# Encoding-anomaly (mojibake) detection
+
+# UTF-8-decoded-as-Latin-1 signatures, as plain character-class ranges
+# (lookaround-free, no metacharacters inside the classes — valid and
+# identical in Java regex and RE2, so the DuckDB oracle reuses them
+# verbatim; codepoints spelled as escapes to keep the source ASCII).
+# A continuation byte 0x80-0xBF renders as U+0080-U+00BF under
+# Latin-1, but under cp1252 (the web's de-facto "latin-1") bytes
+# 0x80-0x9F map to punctuation/letters (Euro sign, curly quotes,
+# dagger, ...) — RIGHT-SINGLE-QUOTE mojibake is 'a-circumflex, Euro,
+# trade-mark', whose tail chars are NOT in U+0080-U+00BF. The class
+# below is the UNION of both renderings.
+_CONT_CLASS = (
+    "\u0080-\u00bf"
+    "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160"
+    "\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014"
+    "\u02dc\u2122\u0161\u203a\u0153\u017e\u0178"
+)
+_MB2_PAT = f"[\u00c2-\u00df][{_CONT_CLASS}]"
+_MB3_PAT = f"[\u00e0-\u00ef][{_CONT_CLASS}][{_CONT_CLASS}]"
+_FFFD_PAT = "\ufffd"
+_C1_PAT = "[\u0080-\u009f]"
+
+
+def encoding_anomalies(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document encoding-damage signals — the "was this page
+    decoded with the wrong charset?" pre-filter every web-crawl
+    pipeline runs before quality scoring (mojibake poisons token
+    statistics silently; CCNet and ftfy both gate on it).
+
+    Counts four independent artifacts, all codegen'd JVM
+    ``regexp_count`` fused into ONE scan projection — zero exchanges,
+    zero Python:
+
+    - ``n_mb2``: UTF-8 two-byte sequences decoded as Latin-1 — a
+      lead-byte char U+00C2-U+00DF followed by a continuation-byte
+      char U+0080-U+00BF ('e-acute' becomes 'A-tilde + copyright-ish',
+      NBSP becomes 'A-circumflex + U+00A0');
+    - ``n_mb3``: three-byte sequences (curly quotes, em-dashes) —
+      lead char U+00E0-U+00EF then TWO continuation-range chars;
+    - ``n_fffd``: U+FFFD replacement characters (a decoder already
+      gave up);
+    - ``n_c1``: bare C1 control chars U+0080-U+009F (invalid in sane
+      text; the residue zone of mojibake and cp1252 confusion).
+
+    ``mojibake`` flags any hit. Counts overlap deliberately (a C1
+    char inside an mb2 pair counts in both) — they are independent
+    signals, not a partition. Null text scores zero counts, not
+    flagged.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n_mb2 = F.regexp_count(c, F.lit(_MB2_PAT))
+    n_mb3 = F.regexp_count(c, F.lit(_MB3_PAT))
+    n_fffd = F.regexp_count(c, F.lit(_FFFD_PAT))
+    n_c1 = F.regexp_count(c, F.lit(_C1_PAT))
+    return df.select(
+        F.col(key_col),
+        n_mb2.cast("long").alias("n_mb2"),
+        n_mb3.cast("long").alias("n_mb3"),
+        n_fffd.cast("long").alias("n_fffd"),
+        n_c1.cast("long").alias("n_c1"),
+        ((n_mb2 > 0) | (n_mb3 > 0) | (n_fffd > 0) | (n_c1 > 0)).alias(
+            "mojibake"
+        ),
+    )

@@ -17,7 +17,7 @@ independent assignment.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -112,3 +112,75 @@ def stratified_sample(
     ) & (b < F.lit(_threshold(default_fraction)))
     cond = others if cond is None else cond | others
     return df.filter(cond)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n: int,
+    salt: str = "",
+    prune_buckets: int = 16,
+    max_broadcast_groups: int = 2_000_000,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen deterministically in
+    hash order of ``key_col`` (RefinedWeb/Dolma-style per-domain
+    document caps: the head of a Zipf domain distribution must not
+    dominate the training mixture). Same row set in every run, engine,
+    partition count, and row order: preference order is
+    ``(md5(key||salt), key)``, null keys via the chr(1) sentinel.
+
+    Scale shape — the naive ``row_number() OVER (PARTITION BY group)``
+    sorts the ENTIRE corpus through one exchange and serializes each
+    hot domain into a single task. Here the corpus is never globally
+    sorted:
+
+    1. per-group counts (one map-side-combined aggregation over keys,
+       output = distinct groups);
+    2. the OVER-CAP group set — the Zipf head, tiny by construction —
+       broadcasts (bounded `_exceeds` probe, shuffle-join fallback
+       above ``max_broadcast_groups``);
+    3. rows of under-cap groups pass through via an anti-join against
+       that set: NO sort, NO exchange of the corpus when broadcast;
+    4. only over-cap rows are ranked, in two levels: a salted window
+       over ``(group, bucket)`` keeps ``n`` per bucket (hot groups
+       split across ``prune_buckets`` tasks), then the final window
+       ranks the ≤ ``prune_buckets × n`` survivors per group — exact
+       top-n, never more than that many rows in one task.
+
+    Null groups are one ordinary group (eqNullSafe joins — a plain
+    column join would silently exempt them from the cap).
+    """
+    from py_schemax_spark.operators.referential import _exceeds
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    key_str = F.coalesce(F.col(key_col).cast("string"), F.lit("\x01"))
+    ord_col = F.md5(F.concat(key_str, F.lit(salt)))
+
+    counts = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    over = counts.filter(F.col("_c") > n).select("_g")
+    if not _exceeds(over, max_broadcast_groups):
+        over = F.broadcast(over)
+    match = F.col(group_col).eqNullSafe(F.col("_g"))
+    passthrough = df.join(over, match, "left_anti")
+    hot = df.join(over, match, "left_semi")
+
+    ranked = hot.select(
+        *df.columns,
+        ord_col.alias("_ord"),
+        key_str.alias("_tie"),
+        F.pmod(F.xxhash64(ord_col), F.lit(prune_buckets)).alias("_b"),
+    )
+    w1 = Window.partitionBy(group_col, "_b").orderBy("_ord", "_tie")
+    w2 = Window.partitionBy(group_col).orderBy("_ord", "_tie")
+    capped = (
+        ranked.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= n)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= n)
+        .select(*df.columns)
+    )
+    return passthrough.unionByName(capped)
