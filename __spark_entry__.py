@@ -1807,6 +1807,53 @@ def q_mojibake(spark, sf_dir):
     return encoding_anomalies(planted, text_col="text", key_col="doc_id")
 
 
+# planted foreign-script runs for q_script_profile — shared constant:
+# the Spark side plants the literal string, the oracle renders the
+# same codepoints as chr() calls (pure function of doc_id both sides)
+_SCRIPT_PLANTS: dict[int, tuple[int, str]] = {
+    # modulus: (remainder, planted text)
+    31: (2, "привет"),          # Cyrillic
+    37: (4, "你好世界"),                      # CJK
+    41: (6, "مرحبا"),                # Arabic
+    43: (8, "안녕"),                                  # Hangul
+}
+
+
+def q_vocab_stats(spark, sf_dir):
+    """One-row corpus vocabulary report (total tokens, distinct types,
+    hapax count, type-token / hapax / top-type shares in basis points)
+    — the Zipf/coverage summary of the corpus. One token-granular
+    aggregation with map-side combine + a bounded rollup; token
+    contract shared with decontamination (lowercase, explicit
+    whitespace class), so the oracle rebuilds the identical universe."""
+    from py_schemax_spark.operators.textstats import vocab_stats
+
+    return vocab_stats(_docs(spark, sf_dir), text_col="text")
+
+
+def q_script_profile(spark, sf_dir):
+    """Unicode script mix with planted foreign-script runs (the
+    synthetic corpus is ASCII, so Cyrillic/CJK/Arabic/Hangul text is
+    planted as pure functions of doc_id — the oracle renders the same
+    codepoints via chr()). Five codegen regexp_count classes in ONE
+    scan projection, zero exchanges; dominant script via a fixed-order
+    CASE chain both engines share; 'mixed' = non-dominant mass >= 20%
+    of dominant."""
+    from py_schemax_spark.operators.textstats import script_profile
+
+    d = _docs(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    for mod, (rem, s) in _SCRIPT_PLANTS.items():
+        t = F.concat(
+            t,
+            F.when(F.col("doc_id") % mod == rem, F.lit(" " + s)).otherwise(
+                F.lit("")
+            ),
+        )
+    planted = d.select("doc_id", t.alias("text"))
+    return script_profile(planted, text_col="text", key_col="doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window covers the
     queries that most need a fresh green row. Round 3's driver record
@@ -1829,6 +1876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "bloom_decontam": q_bloom_decontam,
         "mojibake": q_mojibake,
+        "vocab_stats": q_vocab_stats,
+        "script_profile": q_script_profile,
         # -- block 0: round-4 integrity + substring operators --
         "drift_ks": q_drift_ks,
         "monotonicity": q_monotonicity,
@@ -2739,6 +2788,81 @@ SELECT doc_id, n_mb2, n_mb3, n_fffd, n_c1,
 FROM counted
 """
 
+    # vocab stats: identical token universe (lowercase, explicit
+    # whitespace class), rebuilt as non-ws runs via regexp_extract_all
+    vocab_stats_sql = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[^ '||chr(9)||chr(10)
+               ||chr(13)||chr(12)||']+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax,
+       CAST(MAX(cnt) AS BIGINT) AS max_type_cnt,
+       CAST((COUNT(*) * 10000) // SUM(cnt) AS BIGINT) AS ttr_bp,
+       CAST((SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 10000)
+            // COUNT(*) AS BIGINT) AS hapax_bp,
+       CAST((MAX(cnt) * 10000) // SUM(cnt) AS BIGINT) AS top_share_bp
+FROM counts
+"""
+
+    # script profile: same planted codepoints (chr()) and the same
+    # literal character-class patterns, dominant via the same
+    # fixed-order CASE chain
+    from py_schemax_spark.operators.textstats import SCRIPT_CLASSES
+
+    _plant_sql = "".join(
+        "|| CASE WHEN doc_id % {m} = {r} THEN ' ' || {chrs} "
+        "ELSE '' END\n".format(
+            m=mod,
+            r=rem,
+            chrs=" || ".join(f"chr({ord(ch)})" for ch in s),
+        )
+        for mod, (rem, s) in _SCRIPT_PLANTS.items()
+    )
+    _script_counts = ",\n".join(
+        f"         CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat in SCRIPT_CLASSES.items()
+    )
+    _names = list(SCRIPT_CLASSES)
+    _total = " + ".join(f"n_{n}" for n in _names)
+    _greatest = "greatest(" + ", ".join(f"n_{n}" for n in _names) + ")"
+    _dom_chain = "\n         ".join(
+        f"WHEN n_{n} = _dom THEN '{n}'" for n in _names
+    )
+    _present = " + ".join(
+        f"(CASE WHEN n_{n} > 0 THEN 1 ELSE 0 END)" for n in _names
+    )
+    script_profile_sql = f"""
+WITH planted AS (
+  SELECT doc_id,
+         coalesce(text, '')
+         {_plant_sql}
+         AS t
+  FROM documents
+),
+counted AS (
+  SELECT doc_id,
+{_script_counts}
+  FROM planted
+),
+derived AS (
+  SELECT *, ({_total}) AS n_scripted, {_greatest} AS _dom,
+         ({_present}) AS _np
+  FROM counted
+)
+SELECT doc_id, {", ".join("n_" + n for n in _names)}, n_scripted,
+       CASE WHEN n_scripted = 0 THEN NULL
+         {_dom_chain}
+       END AS dominant,
+       (_np >= 2 AND (n_scripted - _dom) * 5 >= _dom) AS mixed
+FROM derived
+"""
+
     # line dedup: identical contract rebuilt in SQL — lines are
     # split(chr(10)), a line is boilerplate iff trimmed-non-empty and
     # present in >= 50 distinct docs, clean_text rejoins survivors in
@@ -3424,6 +3548,8 @@ SELECT doc_id, source FROM (
 SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0
 """,
         "mojibake": mojibake_sql,
+        "vocab_stats": vocab_stats_sql,
+        "script_profile": script_profile_sql,
         "mad_outliers": mad_outliers_sql,
         # conditional checks: the spec's when/expect strings verbatim,
         # 3VL exactly as CheckSpec documents

@@ -148,6 +148,20 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--key-col", default=None,
                     help="key column labelling outlier rows (default: "
                          "first profiled column)")
+    pr.add_argument("--hh-mode", choices=("exact", "sketch"),
+                    default="exact",
+                    help="heavy-hitter strategy: 'exact' per-value "
+                         "counts (categorical columns) or 'sketch' "
+                         "Misra-Gries + exact confirm (identical rows; "
+                         "high-cardinality columns — the corpus is "
+                         "never shuffled at value granularity)")
+    pr.add_argument("--emit-spec", default=None, metavar="PATH",
+                    help="write a draft constraint spec (YAML) inferred "
+                         "from the profile: observed types, nullability, "
+                         "numeric ranges — a floor to tighten, never a "
+                         "verdict (the profiled table always passes it)")
+    pr.add_argument("--fqn", default=None,
+                    help="fqn for --emit-spec (default: table basename)")
     pr.add_argument("--json", dest="use_json", action="store_true")
     pr.add_argument("--master", default=None)
 
@@ -455,7 +469,7 @@ def profile_main(ns, spark=None) -> int:
             df = read_table(spark, ns.table)
             rep = profile_table(
                 df, columns=cols, hh_k=ns.hh_k, mad_k=ns.mad_k,
-                key_col=ns.key_col,
+                key_col=ns.key_col, hh_mode=ns.hh_mode,
             )
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
@@ -464,6 +478,38 @@ def profile_main(ns, spark=None) -> int:
             print(f"❌ {ns.table}: {e}", file=sys.stderr)
             return 2
         rep["table"] = ns.table
+        if ns.emit_spec:
+            import yaml
+
+            from py_schemax_spark.operators.profile import infer_spec
+            from py_schemax_spark.specs.loader import validate_spec_dict
+
+            from pathlib import Path
+
+            fqn = ns.fqn or Path(ns.table).name.replace(".parquet", "")
+            # unprofiled table columns must still be DECLARED (schema
+            # conformance is extra="forbid"): permissive type-only
+            # entries so the table passes the spec inferred from it
+            # for any --columns selection
+            extra = [
+                (n, t) for n, t in df.dtypes
+                if n not in rep["columns"]
+            ]
+            draft = infer_spec(
+                rep, fqn=fqn, key=ns.key_col, extra_columns=extra
+            )
+            res = validate_spec_dict(draft, file_path=ns.emit_spec)
+            if not res.valid:
+                # inference produced an invalid spec = a bug, not a
+                # user error; surface it loudly
+                for e in res.errors:
+                    print(f"error: {e.error_at}: {e.message}",
+                          file=sys.stderr)
+                return 2
+            with open(ns.emit_spec, "w", encoding="utf-8") as fh:
+                yaml.safe_dump(draft, fh, sort_keys=False,
+                               allow_unicode=True)
+            print(f"spec draft written: {ns.emit_spec}", file=sys.stderr)
         if ns.use_json:
             print(_json.dumps(rep))
         else:

@@ -40,6 +40,7 @@ def profile_table(
     hh_k: int = 10,
     mad_k: int = 5,
     key_col: str | None = None,
+    hh_mode: str = "exact",
 ) -> dict:
     """Spec-less table profile — the discovery pass a user runs BEFORE
     writing a constraint spec. Returns a bounded driver-side dict:
@@ -81,12 +82,25 @@ def profile_table(
             "min": base[f"__min_{c}"],
             "max": base[f"__max_{c}"],
         }
+        if hh_mode == "sketch":
+            # Misra-Gries candidates + exact confirm: identical rows
+            # to the exact path, but the corpus is never shuffled at
+            # value granularity (high-cardinality columns)
+            from py_schemax_spark.operators.sketches import (
+                approx_heavy_hitters,
+            )
+
+            hh_df = approx_heavy_hitters(df, c, k=hh_k)
+        elif hh_mode == "exact":
+            hh_df = heavy_hitters(df, c, k=hh_k)
+        else:
+            raise ValueError(
+                f"unknown hh_mode {hh_mode!r} (exact | sketch)"
+            )
         info["heavy_hitters"] = [
             {"value": r["value"], "cnt": r["cnt"],
              "share_bp": r["share_bp"]}
-            for r in heavy_hitters(df, c, k=hh_k)
-            .orderBy(F.desc("cnt"), "value")
-            .collect()
+            for r in hh_df.orderBy(F.desc("cnt"), "value").collect()
         ]
         if fields[c] in numeric:
             key = key_col or cols[0]
@@ -95,6 +109,94 @@ def profile_table(
             ).count()
         out["columns"][c] = info
     return out
+
+
+# Spark simpleString → spec type (the reference's SupportedDataTypes
+# vocabulary, /root/reference/py_schemax/model.py:20-26, plus the
+# engine's binary extension)
+_SPARK_TO_SPEC = {
+    "string": "string",
+    "tinyint": "integer", "smallint": "integer", "int": "integer",
+    "bigint": "integer", "long": "integer", "short": "integer",
+    "byte": "integer", "integer": "integer",
+    "float": "float", "double": "float",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "datetime", "timestamp_ntz": "datetime",
+    "binary": "binary",
+}
+
+_INT_SPARK_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "long", "short", "byte",
+    "integer",
+}
+
+
+def infer_spec(
+    profile: dict,
+    fqn: str,
+    key: str | None = None,
+    extra_columns: list[tuple[str, str]] | None = None,
+) -> dict:
+    """Draft a constraint-spec dict from a `profile_table` report —
+    the closing move of the discovery pass (profile → eyeball → emit →
+    tighten). Pure function of the profile dict (no Spark).
+
+    Inference is strictly observational, so a table ALWAYS passes the
+    spec inferred from itself (tested): ``nullable`` only where nulls
+    were observed, numeric ``minimum``/``maximum`` from the observed
+    (inclusive) range. Columns whose Spark type has no spec analogue
+    (arrays, maps, decimals) are skipped with a ``skipped`` entry
+    rather than guessed at. The caller tightens from there — the draft
+    is a floor, not a verdict.
+
+    ``extra_columns`` are (name, spark_type) pairs present in the table
+    but NOT profiled (a ``--columns`` subset run). Schema conformance
+    is extra="forbid", so a spec that omits them would fail on the very
+    table it was inferred from; they are declared as permissive
+    type-only entries (``nullable: true``, no bounds — nothing was
+    observed) to keep the closure property for any column selection.
+    """
+    cols = []
+    skipped = []
+    for name, info in profile["columns"].items():
+        spark_t = info["type"]
+        spec_t = _SPARK_TO_SPEC.get(spark_t)
+        if spec_t is None:
+            skipped.append({"name": name, "type": spark_t})
+            continue
+        col: dict = {
+            "name": name,
+            "type": spec_t,
+            "nullable": info["null_count"] > 0,
+        }
+        if (
+            spark_t in _INT_SPARK_TYPES
+            and info["min"] is not None
+            and info["max"] is not None
+        ):
+            col["minimum"] = int(info["min"])
+            col["maximum"] = int(info["max"])
+        elif (
+            spark_t in ("float", "double")
+            and info["min"] is not None
+            and info["max"] is not None
+        ):
+            col["minimum"] = float(info["min"])
+            col["maximum"] = float(info["max"])
+        cols.append(col)
+    for name, spark_t in extra_columns or []:
+        spec_t = _SPARK_TO_SPEC.get(spark_t)
+        if spec_t is None:
+            skipped.append({"name": name, "type": spark_t})
+            continue
+        cols.append({"name": name, "type": spec_t, "nullable": True})
+    spec: dict = {"fqn": fqn, "columns": cols}
+    if key is not None:
+        spec["key"] = key
+    if skipped:
+        spec["metadata"] = {"skipped_columns": skipped}
+    return spec
 
 
 def categorical_tv(

@@ -354,3 +354,146 @@ def unigram_logprob_scores(
     from py_schemax_spark.operators.dedup import _track_persisted
 
     return _track_persisted(result, [bc_counts])
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary report
+
+
+def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """ONE-row corpus vocabulary report: total token count, distinct
+    type count, hapax-legomena count (types occurring once), type-token
+    ratio and hapax share in basis points, and the hottest type's count
+    + corpus share — the Zipf/coverage summary a tokenizer-training or
+    corpus-health pass starts from.
+
+    Token contract shared with decontamination/unigram scoring:
+    lowercase, split on the explicit whitespace class (RE2's exact
+    ``\\s``), empties dropped — so the DuckDB oracle rebuilds the same
+    universe verbatim.
+
+    Scale shape: ONE token-granular aggregation with map-side combine
+    (hot types collapse inside their map task; the reduce side is
+    vocabulary-sized — unavoidable for EXACT type counts, which is the
+    point of the report; use `stats.column_stats`'s HLL distinct for
+    the sketched version), then a bounded second aggregation over the
+    count table. No windows, no joins, nothing driver-side.
+    """
+    tok = F.explode(
+        F.split(F.lower(F.col(text_col)), "[ \t\n\r\f]+")
+    ).alias("tok")
+    counts = (
+        df.select(tok)
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.max("cnt").cast("long").alias("max_type_cnt"),
+    ).select(
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        "max_type_cnt",
+        F.expr("CAST((n_types * 10000) div n_tokens AS BIGINT)").alias(
+            "ttr_bp"
+        ),
+        F.expr("CAST((n_hapax * 10000) div n_types AS BIGINT)").alias(
+            "hapax_bp"
+        ),
+        F.expr(
+            "CAST((max_type_cnt * 10000) div n_tokens AS BIGINT)"
+        ).alias("top_share_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode script mix
+
+
+# Explicit codepoint ranges (NOT \p{L}-style properties, whose members
+# drift across Unicode versions and engines): basic Latin letters +
+# Latin-1/Extended-A/B, Cyrillic, CJK ideographs + kana, Arabic,
+# Hangul syllables. Lookaround-free classes shared verbatim with the
+# DuckDB oracle.
+SCRIPT_CLASSES: dict[str, str] = {
+    "latin": "[A-Za-z\u00c0-\u024f]",
+    "cyrillic": "[\u0400-\u04ff]",
+    "cjk": "[\u4e00-\u9fff\u3040-\u30ff]",
+    "arabic": "[\u0600-\u06ff]",
+    "hangul": "[\uac00-\ud7af]",
+}
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Unicode script mix — the wrong-lang-label /
+    mixed-script-spam signal (a page labeled 'en' that is 60% CJK, or
+    keyword-stuffed text interleaving scripts, is a curation drop).
+
+    Per script class: a character count via codegen'd ``regexp_count``
+    — five counts fused into ONE scan projection, zero exchanges, zero
+    Python. Derived columns:
+
+    - ``n_scripted``: total chars in any counted script;
+    - ``dominant``: the class with the greatest count (ties resolved
+      by the fixed declaration order of ``SCRIPT_CLASSES`` — the same
+      CASE chain runs in the oracle), NULL when no scripted chars;
+    - ``mixed``: at least two scripts present AND the non-dominant
+      mass is >= 20% of the dominant count (integer arithmetic:
+      ``(n_scripted - dom_cnt) * 5 >= dom_cnt``).
+
+    Null text → zero counts, NULL dominant, not mixed.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    cnt_cols = {
+        name: F.regexp_count(c, F.lit(pat)).cast("long")
+        for name, pat in SCRIPT_CLASSES.items()
+    }
+    names = list(SCRIPT_CLASSES)
+    out = df.select(
+        F.col(key_col),
+        *[cnt_cols[n].alias(f"n_{n}") for n in names],
+    )
+    total = None
+    for n in names:
+        col = F.col(f"n_{n}")
+        total = col if total is None else total + col
+    dom_cnt = F.greatest(*[F.col(f"n_{n}") for n in names])
+    # when() evaluates in declaration order, so the FIRST declared
+    # script wins count ties — the oracle's CASE chain matches
+    chain = None
+    for n in names:
+        cond = F.col(f"n_{n}") == F.col("_dom_cnt")
+        chain = (
+            F.when(cond, F.lit(n))
+            if chain is None
+            else chain.when(cond, F.lit(n))
+        )
+    out = out.withColumn("n_scripted", total).withColumn(
+        "_dom_cnt", dom_cnt
+    )
+    out = out.withColumn(
+        "dominant",
+        F.when(F.col("n_scripted") == 0, F.lit(None).cast("string"))
+        .otherwise(chain),
+    )
+    n_present = None
+    for n in names:
+        p = F.when(F.col(f"n_{n}") > 0, 1).otherwise(0)
+        n_present = p if n_present is None else n_present + p
+    out = out.withColumn(
+        "mixed",
+        (n_present >= 2)
+        & (
+            (F.col("n_scripted") - F.col("_dom_cnt")) * 5
+            >= F.col("_dom_cnt")
+        ),
+    )
+    return out.drop("_dom_cnt")
