@@ -1854,6 +1854,100 @@ def q_script_profile(spark, sf_dir):
     return script_profile(planted, text_col="text", key_col="doc_id")
 
 
+def q_benford(spark, sf_dir):
+    """Benford first-digit screen over n_chars: per-digit observed vs
+    expected basis points with signed deviation — the fabricated/
+    templated-numeric-column detector. ONE aggregation to ≤ 9 digit
+    groups (map-side combine), everything else on 9 rows. The
+    synthetic length column legitimately deviates from Benford — the
+    operator reports, the spec judges — so every digit row carries a
+    meaningful nonzero dev_bp."""
+    from py_schemax_spark.operators.profile import benford_check
+
+    return benford_check(_docs(spark, sf_dir), "n_chars")
+
+
+def q_dup_rate(spark, sf_dir):
+    """Per-source exact-duplication rate with planted boilerplate (the
+    corpus texts are distinct, so doc_id % 6 == 5 rows collapse to one
+    per-source parked-page string — same CASE in the oracle): the
+    crawl-health rollup a validator thresholds per snapshot. Two
+    stacked map-side-combined aggregations — (source, md5) then
+    source; output bounded by source count."""
+    from py_schemax_spark.operators.profile import dup_rate_by_group
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 6 == 5,
+            F.concat(F.lit("parked page "), F.col("source")),
+        ).otherwise(F.col("text")),
+    )
+    return dup_rate_by_group(d, "source", "text")
+
+
+def q_canonical_dedup(spark, sf_dir):
+    """Canonical-URL duplicate groups: each doc pair (2k, 2k+1) is
+    crawled under two decorated spellings of the same page — uppercase
+    scheme/host, userinfo, www., default :443 port, trailing slash,
+    shuffled query params, utm_* tracking tags, a fragment, a trailing
+    empty param — and the canonicalizer must collapse BOTH to the one
+    canonical string the oracle computes in closed form. Scan-fused
+    projection + ONE map-side-combined aggregation; no join."""
+    from py_schemax_spark.functions.urls import canonical_dedup_report
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id").isNotNull())
+    k = F.expr("doc_id div 2")  # integral, no float rounding ever
+    host = F.concat(F.lit("d"), (k % 97).cast("string"))
+    even = F.concat(
+        F.lit("HTTPS://crawler:pw@WWW."), F.upper(host),
+        F.lit(".Example.ORG:443/p/"), k.cast("string"),
+        F.lit("/?b=2&a=1&utm_source=feed&#frag"),
+    )
+    odd = F.concat(
+        F.lit("https://"), host, F.lit(".example.org/p/"),
+        k.cast("string"), F.lit("?a=1&b=2"),
+    )
+    url = F.when(F.col("doc_id") % 2 == 0, even).otherwise(odd)
+    return canonical_dedup_report(
+        d.withColumn("url", url), "url", "doc_id"
+    )
+
+
+def q_row_diff(spark, sf_dir):
+    """Row-level snapshot diff with planted mutations (shared
+    arithmetic both engines): doc_id % 13 == 3 rows removed,
+    % 17 == 4 flip lang, % 19 == 6 bump n_chars (rows hit by both
+    report 'lang,n_chars' in compare-column order), % 23 == 1 rows
+    re-appear shifted +1e6 (added). ONE key-granular full-outer
+    sort-merge join — the minimum a row diff needs; bucketed
+    snapshots would run it shuffle-free."""
+    from py_schemax_spark.operators.integrity import row_diff
+
+    prev = _docs(spark, sf_dir).filter(F.col("doc_id").isNotNull())
+    base = (
+        prev.filter(F.col("doc_id") % 13 != 3)
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 17 == 4, F.lit("xx")).otherwise(
+                F.col("lang")
+            ),
+        )
+        .withColumn(
+            "n_chars",
+            F.when(
+                F.col("doc_id") % 19 == 6, F.col("n_chars") + 1
+            ).otherwise(F.col("n_chars")),
+        )
+    )
+    cur = base.unionByName(
+        prev.filter(F.col("doc_id") % 23 == 1).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    return row_diff(cur, prev, "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window covers the
     queries that most need a fresh green row. Round 3's driver record
@@ -1871,7 +1965,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in round 4 — each green in BOTH the r02 and r03 driver
     records)."""
     return {
-        # -- block -1: round-4 session-2 operators (newest first) --
+        # -- block -2: round-4 wave-7 operators (newest first) --
+        "benford": q_benford,
+        "dup_rate": q_dup_rate,
+        "canonical_dedup": q_canonical_dedup,
+        "row_diff": q_row_diff,
+        # -- block -1: round-4 session-2 operators --
         "approx_heavy_hitters": q_approx_heavy_hitters,
         "domain_cap": q_domain_cap,
         "bloom_decontam": q_bloom_decontam,
@@ -1921,13 +2020,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_large_dim": q_referential_large_dim,
         "uniqueness": q_uniqueness,
         "extraction": q_extraction,
+        # ---- 50-entry window boundary (driver records up to here;
+        # every entry below has a driver-green r03 row — or an oracled
+        # containment twin above — and rotated out per the r03-verdict
+        # policy to make room for new queries at the top) ----
         "pages_violations": q_pages_violations,
         "datetime_conformance": q_datetime_conformance,
         "tz_conformance": q_tz_conformance,
         "quantiles": q_quantiles,
         "drift_grid_accuracy": q_drift_grid_accuracy,
         "simhash": q_simhash,
-        # ---- 50-entry window boundary (driver records up to here) ----
         # -- block 3: rows-only variants (oracled twins above) and
         #    queries with multi-round green history (the four rotated
         #    below in round-4 session 2 — ann_lsh_containment,
@@ -3418,7 +3520,110 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) * 100 >= 25
 """
 
+    # Benford: same floored-bp expected table (profile.BENFORD_BP),
+    # first digit from the decimal rendering — no float log10 anywhere
+    benford_sql = """
+WITH c AS (
+  SELECT CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS INTEGER)
+           AS digit,
+         COUNT(*) AS n
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+  GROUP BY 1
+),
+e(digit, expected_bp) AS (VALUES
+  (1, 3010), (2, 1760), (3, 1249), (4, 969), (5, 791),
+  (6, 669), (7, 579), (8, 511), (9, 457))
+SELECT c.digit, c.n,
+       CAST((c.n * 10000) // (SUM(c.n) OVER ()) AS BIGINT)
+         AS observed_bp,
+       CAST(e.expected_bp AS INTEGER) AS expected_bp,
+       CAST((c.n * 10000) // (SUM(c.n) OVER ()) - e.expected_bp
+            AS BIGINT) AS dev_bp
+FROM c JOIN e USING (digit)
+"""
+
+    # dup rate: COUNT(DISTINCT) over the same planted text (the md5
+    # digest is injective over the distinct-count, so plain DISTINCT
+    # on the sentinel-coalesced text is the identical statistic)
+    dup_rate_sql = """
+WITH d AS (
+  SELECT source,
+         CASE WHEN doc_id % 6 = 5 THEN 'parked page ' || source
+              ELSE text END AS text
+  FROM documents
+)
+SELECT source AS "group",
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT coalesce(text, chr(1) || 'null')) AS n_distinct,
+       COUNT(*) - COUNT(DISTINCT coalesce(text, chr(1) || 'null'))
+         AS n_dup,
+       CAST(((COUNT(*) - COUNT(DISTINCT coalesce(text, chr(1)
+           || 'null'))) * 10000) // COUNT(*) AS BIGINT) AS dup_bp
+FROM d GROUP BY source
+"""
+
+    # canonical URL dedup: the oracle computes the canonical string in
+    # CLOSED FORM (both decorated spellings of pair k must collapse to
+    # exactly this), so any canonicalization bug hash-mismatches
+    canonical_dedup_sql = """
+WITH m AS (
+  SELECT doc_id, doc_id // 2 AS k FROM documents
+  WHERE doc_id IS NOT NULL
+)
+SELECT 'https://d' || CAST(k % 97 AS VARCHAR) || '.example.org/p/'
+         || CAST(k AS VARCHAR) || '?a=1&b=2' AS canonical_url,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keep_key
+FROM m GROUP BY k HAVING COUNT(*) > 1
+"""
+
+    # row diff: same planted mutations, full-outer with IS NOT
+    # DISTINCT FROM; concat_ws skips NULLs in both engines so
+    # changed_cols lists differing columns in compare order
+    row_diff_sql = """
+WITH prev AS (
+  SELECT * FROM documents WHERE doc_id IS NOT NULL
+),
+cur AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 17 = 4 THEN 'xx' ELSE lang END AS lang,
+         source,
+         CASE WHEN doc_id % 19 = 6 THEN n_chars + 1
+              ELSE n_chars END AS n_chars
+  FROM prev WHERE doc_id % 13 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars
+  FROM prev WHERE doc_id % 23 = 1
+),
+j AS (
+  SELECT c.doc_id AS ck, p.doc_id AS pk,
+         (c.doc_id IS NOT NULL) AS cpresent,
+         (p.doc_id IS NOT NULL) AS ppresent,
+         concat_ws(',',
+           CASE WHEN c.text IS DISTINCT FROM p.text THEN 'text' END,
+           CASE WHEN c.lang IS DISTINCT FROM p.lang THEN 'lang' END,
+           CASE WHEN c.source IS DISTINCT FROM p.source
+                THEN 'source' END,
+           CASE WHEN c.n_chars IS DISTINCT FROM p.n_chars
+                THEN 'n_chars' END) AS chg
+  FROM cur c FULL OUTER JOIN prev p
+    ON c.doc_id IS NOT DISTINCT FROM p.doc_id
+)
+SELECT coalesce(ck, pk) AS key,
+       CASE WHEN NOT ppresent THEN 'added'
+            WHEN NOT cpresent THEN 'removed'
+            ELSE 'changed' END AS status,
+       CASE WHEN ppresent AND cpresent THEN chg ELSE '' END
+         AS changed_cols
+FROM j
+WHERE NOT ppresent OR NOT cpresent OR chg <> ''
+"""
+
     return {
+        "benford": benford_sql,
+        "dup_rate": dup_rate_sql,
+        "canonical_dedup": canonical_dedup_sql,
+        "row_diff": row_diff_sql,
         "stats": stats_sql,
         "stats_salted_exact": stats_salted_exact_sql,
         "row_violations": row_viol_sql,

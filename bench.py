@@ -434,6 +434,7 @@ def main() -> None:
         "snapshot_reconcile",
         "approx_heavy_hitters", "domain_cap", "bloom_decontam",
         "mojibake",
+        "benford", "dup_rate", "canonical_dedup", "row_diff",
     ]
     queries = entrymod.queries()
     from py_schemax_spark.operators.dedup import (

@@ -76,3 +76,104 @@ def url_features(
         url_query_param_count(u).alias("n_params"),
         url_tld(u).alias("tld"),
     )
+
+
+# Tracking parameters dropped by canonicalize_url — the list every
+# crawl canonicalizer carries (Google/Facebook/Microsoft/Yandex click
+# ids + generic utm_* campaign tags). Alternation, lookaround-free.
+TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|yclid)="
+
+
+def canonicalize_url(url: Column) -> Column:
+    r"""Canonical URL form for duplicate detection, as one pure column
+    expression (fuses into the scan projection — zero Python, zero
+    extra passes).
+
+    The same page is crawled under dozens of spellings; canonicalizing
+    BEFORE hashing is the first dedup lever on any crawl (cheaper than
+    any content hash, collapses ~5-15% of a typical frontier). Rules,
+    applied in order — each is a documented contract the DuckDB oracle
+    reproduces verbatim:
+
+    1. fragment dropped (``#...`` never reaches the server);
+    2. scheme + authority lowercased (RFC 3986 §6.2.2.1), userinfo
+       dropped, leading ``www.`` dropped;
+    3. default ports dropped (``http://h:80`` → ``http://h``,
+       ``https://h:443`` → ``https://h``);
+    4. trailing slashes stripped from the path (``/a/`` ≡ ``/a``,
+       root ``/`` ≡ empty);
+    5. query parameters: tracking params (`TRACKING_PARAM_RE`) and
+       empty fragments dropped, the rest SORTED bytewise (param order
+       never reaches the application for the overwhelming majority of
+       pages; sorting is what makes ``?a=1&b=2`` ≡ ``?b=2&a=1``).
+
+    Values that don't parse as ``scheme://authority...`` pass through
+    UNCHANGED — this is a canonicalizer, not a validator, and a
+    non-URL must never silently alias another non-URL.
+    """
+    # fragment off first — split_part semantics are identical in both
+    # engines and avoid regex dotall edge cases entirely
+    u1 = F.substring_index(url, "#", 1)
+    raw_pre = F.regexp_extract(
+        u1, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1
+    )
+    pre = F.lower(raw_pre)
+    pre = F.regexp_replace(pre, r"://[^/@]*@", "://")
+    pre = F.regexp_replace(pre, r"^([a-z][a-z0-9+.-]*://)www\.", "$1")
+    pre = F.regexp_replace(pre, r"^(http://[^:]*):80\z", "$1")
+    pre = F.regexp_replace(pre, r"^(https://[^:]*):443\z", "$1")
+
+    rest = F.substring(u1, F.length(raw_pre) + 1, F.lit(2147483647))
+    path_raw = F.substring_index(rest, "?", 1)
+    path = F.regexp_replace(path_raw, r"/+\z", "")
+    # everything after the FIRST '?' (a stray later '?' belongs to the
+    # query value, not a second query)
+    query = F.when(
+        F.instr(rest, "?") > 0,
+        F.substring(
+            rest, F.length(path_raw) + 2, F.lit(2147483647)
+        ),
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qcanon = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+
+    return F.when(raw_pre == "", url).otherwise(
+        F.concat(pre, path, qcanon)
+    )
+
+
+def canonical_dedup_report(
+    df: DataFrame, url_col: str = "url", key_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level duplicate groups after canonicalization: one row per
+    canonical URL crawled more than once —
+    ``(canonical_url, n_docs, keep_key)`` with ``keep_key`` the
+    smallest key (deterministic keep-first, same convention as
+    `operators.dedup.dedup_keep_first`).
+
+    Plan shape: canonicalization is a scan-fused projection; then ONE
+    aggregation on the canonical string with map-side combine (URL
+    dups cluster within crawl segments, so the combine collapses most
+    groups before the shuffle). Output is bounded by the number of
+    duplicated URLs, never corpus-scale; no join, no window.
+    """
+    return (
+        df.select(
+            canonicalize_url(F.col(url_col)).alias("canonical_url"),
+            F.col(key_col).alias("_k"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("_k").alias("keep_key"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -22,6 +22,11 @@ Scale shapes at 10^12 rows:
   float domains, bucket first). The flagging pass is then a single
   broadcast of two scalars into a corpus projection: no second corpus
   shuffle.
+- ``benford_check`` reduces to 9 first-digit groups in one map-side
+  combined aggregation; everything after runs on ≤ 9 rows.
+- ``dup_rate_by_group`` is two stacked aggregations — (group, digest)
+  then group — both with map-side combine; output is bounded by the
+  number of groups (sources/domains), never by corpus size.
 """
 
 from __future__ import annotations
@@ -341,5 +346,118 @@ def mad_outliers(
             F.col(value_col).alias("value"),
             "med",
             "mad",
+        )
+    )
+
+
+# floor(log10(1 + 1/d) * 10000) for d = 1..9 — the Benford first-digit
+# law in basis points, floored so both engines share exact integers
+# (sums to 9995, not 10000, by construction of the floor).
+BENFORD_BP = (3010, 1760, 1249, 969, 791, 669, 579, 511, 457)
+
+
+def benford_check(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law, per digit.
+
+    The classic fabricated-/corrupted-numeric-column screen: naturally
+    occurring multi-scale positive quantities (file sizes, view
+    counts, crawl byte lengths) follow ``P(d) = log10(1 + 1/d)``;
+    uniform or templated synthetic columns do not. This reports the
+    deviation rather than judging it — narrow-range columns (ports,
+    years) legitimately deviate, so the threshold belongs to the spec,
+    not the operator.
+
+    Only strictly positive, non-null values participate (Benford is
+    undefined at ≤ 0). The first digit is taken from the decimal
+    rendering — exact for integer columns, and exactly reproducible by
+    any SQL engine (no float log10 anywhere). Returns one row per
+    observed digit, ordered: ``(digit, n, observed_bp, expected_bp,
+    dev_bp)`` with ``observed_bp = floor(10000 * n_d / n)`` and
+    ``dev_bp = observed_bp - expected_bp`` (signed).
+
+    Plan shape: ONE aggregation to ≤ 9 digit groups (map-side combine
+    collapses each partition to ≤ 9 rows before the shuffle); the
+    total rides a window over the 9-row table. Scale-free.
+    """
+    digit = F.substring(
+        F.col(value_col).cast("decimal(38,0)").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    expected = F.element_at(
+        F.array(*[F.lit(v) for v in BENFORD_BP]), F.col("digit")
+    )
+    return (
+        counts.select(
+            "digit",
+            "n",
+            F.expr("CAST((n * 10000) div sum(n) OVER () AS BIGINT)").alias(
+                "observed_bp"
+            ),
+            expected.cast("int").alias("expected_bp"),
+        )
+        .withColumn(
+            "dev_bp",
+            (F.col("observed_bp") - F.col("expected_bp")).cast("bigint"),
+        )
+        .orderBy("digit")
+    )
+
+
+def dup_rate_by_group(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Per-group exact-duplication profile: how much of each source /
+    domain / snapshot is byte-identical repeated content.
+
+    The crawl-health companion of `operators.dedup.exact_duplicates`:
+    instead of listing duplicate rows (corpus-sized output), it rolls
+    the duplication RATE up to one bounded row per group — the number
+    a validator thresholds ("source X went from 3% to 40% duplicated
+    ⇒ its extractor broke or it started serving a parked page").
+
+    Null texts form their own digest class within the group (a source
+    suddenly full of null texts is exactly what this should surface).
+    Returns ``(group, n_docs, n_distinct, n_dup, dup_bp)`` where
+    ``n_dup = n_docs - n_distinct`` and
+    ``dup_bp = floor(10000 * n_dup / n_docs)``.
+
+    Plan shape: aggregation to (group, md5(text)) — map-side combine
+    collapses within-partition repeats before the one data-granular
+    shuffle — then a second aggregation to group granularity over the
+    already-collapsed table. No window over the corpus, no join. The
+    digest keeps shuffle rows at 32 hex chars regardless of document
+    size.
+    """
+    digest = F.md5(
+        F.coalesce(
+            F.col(text_col).cast("string"),
+            # \x01 prefix cannot collide with real text rendered by
+            # cast (same in-band-sentinel avoidance as sketches.py)
+            F.lit("\x01null"),
+        )
+    )
+    per_digest = df.groupBy(
+        F.col(group_col).alias("group"), digest.alias("_digest")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        per_digest.groupBy("group")
+        .agg(
+            F.sum("_c").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .select(
+            "group",
+            "n_docs",
+            "n_distinct",
+            (F.col("n_docs") - F.col("n_distinct")).alias("n_dup"),
+            F.expr(
+                "CAST(((n_docs - n_distinct) * 10000) div n_docs"
+                " AS BIGINT)"
+            ).alias("dup_bp"),
         )
     )
