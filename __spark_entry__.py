@@ -1948,6 +1948,45 @@ def q_row_diff(spark, sf_dir):
     return row_diff(cur, prev, "doc_id")
 
 
+def q_text_classifier(spark, sf_dir):
+    """fastText-style hashed-feature linear scoring over the corpus:
+    unigram+bigram terms, bucket = md5-hex-prefix % 2^18, planted
+    integer weight formula (bucket % 997 - 498) so the score — not
+    just the label — is engine-exact. ONE ArrowEvalPython projection,
+    ZERO exchanges (plan-asserted in tests); the oracle rebuilds the
+    identical term/bucket/weight universe in SQL."""
+    from py_schemax_spark.operators.classifier import (
+        linear_text_classifier,
+    )
+
+    return linear_text_classifier(
+        _docs(spark, sf_dir), n_buckets=1 << 18, word_ngrams=2
+    )
+
+
+def q_classifier_eval(spark, sf_dir):
+    """Integer-exact confusion/precision/recall of the hashed
+    classifier against planted truth labels (doc_id % 7 < 3, nulled
+    where doc_id % 37 == 11 to exercise the null policy): the
+    calibration gate a pipeline runs before shipping a retrained
+    quality filter. One aggregation to a single row."""
+    from py_schemax_spark.operators.classifier import (
+        confusion_report,
+        linear_text_classifier,
+    )
+
+    scored = linear_text_classifier(
+        _docs(spark, sf_dir), n_buckets=1 << 18, word_ngrams=2
+    )
+    labeled = scored.select(
+        F.col("label").alias("pred"),
+        F.when(F.col("doc_id") % 37 == 11, F.lit(None).cast("boolean"))
+        .otherwise(F.col("doc_id") % 7 < 3)
+        .alias("truth"),
+    )
+    return confusion_report(labeled, "pred", "truth")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window covers the
     queries that most need a fresh green row. Round 3's driver record
@@ -1965,7 +2004,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in round 4 — each green in BOTH the r02 and r03 driver
     records)."""
     return {
-        # -- block -2: round-4 wave-7 operators (newest first) --
+        # -- block -3: round-4 wave-8 operators (newest first) --
+        "text_classifier": q_text_classifier,
+        "classifier_eval": q_classifier_eval,
+        # -- block -2: round-4 wave-7 operators --
         "benford": q_benford,
         "dup_rate": q_dup_rate,
         "canonical_dedup": q_canonical_dedup,
@@ -2018,12 +2060,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_violations": q_row_violations,
         "referential": q_referential,
         "referential_large_dim": q_referential_large_dim,
-        "uniqueness": q_uniqueness,
-        "extraction": q_extraction,
         # ---- 50-entry window boundary (driver records up to here;
         # every entry below has a driver-green r03 row — or an oracled
         # containment twin above — and rotated out per the r03-verdict
-        # policy to make room for new queries at the top) ----
+        # policy to make room for new queries at the top;
+        # `uniqueness`/`extraction` rotated below in wave 8, each green
+        # in BOTH the r02 and r03 driver records) ----
+        "uniqueness": q_uniqueness,
+        "extraction": q_extraction,
         "pages_violations": q_pages_violations,
         "datetime_conformance": q_datetime_conformance,
         "tz_conformance": q_tz_conformance,
@@ -3619,7 +3663,96 @@ FROM j
 WHERE NOT ppresent OR NOT cpresent OR chg <> ''
 """
 
+    # hashed classifier: the oracle rebuilds the exact term universe
+    # (unigrams + bigrams of lowercased [ \t\n\r\f]+ tokens), the exact
+    # bucket (md5-hex-prefix % 2^18 — verified engine-identical), and
+    # the exact integer weight formula; LEFT JOIN keeps token-less docs
+    # at (0, 0, false) and null-text docs at (null, null, null)
+    classifier_cte = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+terms AS (
+  SELECT doc_id,
+         unnest(list_concat(
+           toks,
+           [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+         )) AS term
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(
+           CAST(('0x' || substr(md5(term), 1, 8))::UBIGINT % 262144
+                AS BIGINT) % 997 - 498
+         ) AS BIGINT) AS score
+  FROM terms GROUP BY doc_id
+),
+lab AS (
+  SELECT d.doc_id,
+         CASE WHEN d.text IS NULL THEN NULL
+              ELSE coalesce(s.n_terms, 0) END AS n_terms,
+         CASE WHEN d.text IS NULL THEN NULL
+              ELSE coalesce(s.score, 0) END AS score,
+         CASE WHEN d.text IS NULL THEN NULL
+              ELSE coalesce(s.score, 0) > 0 END AS label
+  FROM documents d LEFT JOIN s USING (doc_id)
+)
+"""
+
+    text_classifier_sql = classifier_cte + """
+SELECT doc_id, n_terms, score, label FROM lab
+"""
+
+    classifier_eval_sql = classifier_cte + """
+, j AS (
+  SELECT label AS pred,
+         CASE WHEN doc_id % 37 = 11 THEN NULL
+              ELSE doc_id % 7 < 3 END AS truth
+  FROM lab
+),
+c AS (
+  SELECT
+    CAST(SUM(CASE WHEN pred IS NOT NULL AND truth IS NOT NULL
+                   AND pred AND truth THEN 1 ELSE 0 END)
+         AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN pred IS NOT NULL AND truth IS NOT NULL
+                   AND pred AND NOT truth THEN 1 ELSE 0 END)
+         AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN pred IS NOT NULL AND truth IS NOT NULL
+                   AND NOT pred AND truth THEN 1 ELSE 0 END)
+         AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN pred IS NOT NULL AND truth IS NOT NULL
+                   AND NOT pred AND NOT truth THEN 1 ELSE 0 END)
+         AS BIGINT) AS tn,
+    CAST(SUM(CASE WHEN pred IS NULL OR truth IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+  FROM j
+)
+SELECT tp, fp, fn, tn, n_null,
+       CASE WHEN tp + fp > 0
+            THEN CAST((tp * 10000) // (tp + fp) AS BIGINT) END
+         AS precision_bp,
+       CASE WHEN tp + fn > 0
+            THEN CAST((tp * 10000) // (tp + fn) AS BIGINT) END
+         AS recall_bp,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN CAST((tp * 20000) // (2 * tp + fp + fn) AS BIGINT) END
+         AS f1_bp,
+       CASE WHEN tp + fp + fn + tn > 0
+            THEN CAST(((tp + tn) * 10000) // (tp + fp + fn + tn)
+                      AS BIGINT) END
+         AS accuracy_bp
+FROM c
+"""
+
     return {
+        "text_classifier": text_classifier_sql,
+        "classifier_eval": classifier_eval_sql,
         "benford": benford_sql,
         "dup_rate": dup_rate_sql,
         "canonical_dedup": canonical_dedup_sql,
