@@ -1987,6 +1987,72 @@ def q_classifier_eval(spark, sf_dir):
     return confusion_report(labeled, "pred", "truth")
 
 
+def q_domain_graph(spark, sf_dir):
+    """Domain-level link graph degrees from raw html: planted hrefs
+    (one per doc to s{(7k+1)%24}.example.org, a second for k%3==0 to
+    s{(13k+5)%24}.example.org, a relative link for k%11==0 that
+    absolute-only filtering must drop) → regexp outlink extraction →
+    weighted domain graph → per-domain in/out degrees. The oracle
+    computes every domain in closed form from doc_id, so an
+    extraction or host-parsing bug hash-mismatches."""
+    from py_schemax_spark.operators.linkgraph import (
+        domain_degrees,
+        domain_graph,
+        extract_outlinks,
+    )
+
+    d = _docs(spark, sf_dir)
+    k = F.col("doc_id")
+    link1 = F.concat(
+        F.lit('<a href="https://s'),
+        ((k * 7 + 1) % 24).cast("string"),
+        F.lit(".example.org/p/"),
+        (k % 5).cast("string"),
+        F.lit('">x</a>'),
+    )
+    link2 = F.when(
+        k % 3 == 0,
+        F.concat(
+            F.lit("<a href='https://s"),
+            ((k * 13 + 5) % 24).cast("string"),
+            F.lit(".example.org/q'>y</a>"),
+        ),
+    ).otherwise(F.lit(""))
+    rel = F.when(
+        k % 11 == 0, F.lit('<a href="/local/x">r</a>')
+    ).otherwise(F.lit(""))
+    pages = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.org/doc/"), k.cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><body>"), link1, link2, rel,
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return domain_degrees(domain_graph(extract_outlinks(pages)))
+
+
+def q_pagerank(spark, sf_dir):
+    """Integer fixed-point PageRank (3 iterations, scale 10^6,
+    damping 0.85) over a planted 40-node graph derived from doc_id —
+    every rank engine-exact, oracled against a 3-level unrolled
+    DuckDB CTE computing the identical floor-div recurrence."""
+    from py_schemax_spark.operators.linkgraph import pagerank
+
+    d = _docs(spark, sf_dir)
+    k = F.col("doc_id")
+    e1 = d.select(
+        (k % 40).alias("src"), ((k * 7 + 1) % 40).alias("dst")
+    )
+    e2 = d.filter(k % 2 == 0).select(
+        (k % 40).alias("src"), ((k * 13 + 5) % 40).alias("dst")
+    )
+    edges = e1.union(e2).filter(F.col("src") != F.col("dst"))
+    return pagerank(edges, iters=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window covers the
     queries that most need a fresh green row. Round 3's driver record
@@ -2004,7 +2070,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in round 4 — each green in BOTH the r02 and r03 driver
     records)."""
     return {
-        # -- block -3: round-4 wave-8 operators (newest first) --
+        # -- block -4: round-4 wave-9 operators (newest first) --
+        "domain_graph": q_domain_graph,
+        "pagerank": q_pagerank,
+        # -- block -3: round-4 wave-8 operators --
         "text_classifier": q_text_classifier,
         "classifier_eval": q_classifier_eval,
         # -- block -2: round-4 wave-7 operators --
@@ -2058,14 +2127,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats": q_stats,
         "stats_salted_exact": q_stats_salted_exact,
         "row_violations": q_row_violations,
-        "referential": q_referential,
-        "referential_large_dim": q_referential_large_dim,
         # ---- 50-entry window boundary (driver records up to here;
         # every entry below has a driver-green r03 row — or an oracled
         # containment twin above — and rotated out per the r03-verdict
         # policy to make room for new queries at the top;
-        # `uniqueness`/`extraction` rotated below in wave 8, each green
+        # `uniqueness`/`extraction` rotated below in wave 8 and
+        # `referential`/`referential_large_dim` in wave 9 — each green
         # in BOTH the r02 and r03 driver records) ----
+        "referential": q_referential,
+        "referential_large_dim": q_referential_large_dim,
         "uniqueness": q_uniqueness,
         "extraction": q_extraction,
         "pages_violations": q_pages_violations,
@@ -3750,7 +3820,95 @@ SELECT tp, fp, fn, tn, n_null,
 FROM c
 """
 
+    # closed-form twin of q_domain_graph's planted link structure:
+    # link1 for every doc, link2 for doc_id%3==0; the relative link
+    # (doc_id%11==0) is absolute-only-filtered on the Spark side and
+    # therefore absent here by construction
+    domain_graph_sql = """
+WITH e AS (
+  SELECT source || '.example.org' AS src_domain,
+         's' || CAST((doc_id * 7 + 1) % 24 AS VARCHAR)
+             || '.example.org' AS dst_domain
+  FROM documents
+  UNION ALL
+  SELECT source || '.example.org',
+         's' || CAST((doc_id * 13 + 5) % 24 AS VARCHAR)
+             || '.example.org'
+  FROM documents WHERE doc_id % 3 = 0
+),
+g AS (
+  SELECT src_domain, dst_domain, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM e GROUP BY 1, 2
+),
+od AS (
+  SELECT src_domain AS domain,
+         CAST(COUNT(*) AS BIGINT) AS out_degree,
+         CAST(SUM(weight) AS BIGINT) AS out_weight
+  FROM g GROUP BY 1
+),
+idg AS (
+  SELECT dst_domain AS domain,
+         CAST(COUNT(*) AS BIGINT) AS in_degree,
+         CAST(SUM(weight) AS BIGINT) AS in_weight
+  FROM g GROUP BY 1
+)
+SELECT coalesce(od.domain, idg.domain) AS domain,
+       CAST(coalesce(out_degree, 0) AS BIGINT) AS out_degree,
+       CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree,
+       CAST(coalesce(out_weight, 0) AS BIGINT) AS out_weight,
+       CAST(coalesce(in_weight, 0) AS BIGINT) AS in_weight
+FROM od FULL OUTER JOIN idg ON od.domain = idg.domain
+"""
+
+    # 3-level unrolled twin of the integer fixed-point PageRank
+    # recurrence: base = (1500*10^6)//10^4 = 150000, every division a
+    # floor div over non-negative bigints (DuckDB // == Spark div)
+    pagerank_sql = """
+WITH e0 AS (
+  SELECT doc_id % 40 AS src, (doc_id * 7 + 1) % 40 AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id % 40, (doc_id * 13 + 5) % 40
+  FROM documents WHERE doc_id % 2 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+n AS (SELECT DISTINCT src AS node FROM e
+      UNION SELECT DISTINCT dst FROM e),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n),
+i1 AS (
+  SELECT n.node,
+         CAST(150000 + (8500 * coalesce(s.inc, 0)) // 10000
+              AS BIGINT) AS rank
+  FROM n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r0.rank // od.d) AS inc
+    FROM e JOIN r0 ON r0.node = e.src JOIN od ON od.src = e.src
+    GROUP BY e.dst) s ON n.node = s.node
+),
+i2 AS (
+  SELECT n.node,
+         CAST(150000 + (8500 * coalesce(s.inc, 0)) // 10000
+              AS BIGINT) AS rank
+  FROM n LEFT JOIN (
+    SELECT e.dst AS node, SUM(i1.rank // od.d) AS inc
+    FROM e JOIN i1 ON i1.node = e.src JOIN od ON od.src = e.src
+    GROUP BY e.dst) s ON n.node = s.node
+),
+i3 AS (
+  SELECT n.node,
+         CAST(150000 + (8500 * coalesce(s.inc, 0)) // 10000
+              AS BIGINT) AS rank
+  FROM n LEFT JOIN (
+    SELECT e.dst AS node, SUM(i2.rank // od.d) AS inc
+    FROM e JOIN i2 ON i2.node = e.src JOIN od ON od.src = e.src
+    GROUP BY e.dst) s ON n.node = s.node
+)
+SELECT node, rank FROM i3
+"""
+
     return {
+        "domain_graph": domain_graph_sql,
+        "pagerank": pagerank_sql,
         "text_classifier": text_classifier_sql,
         "classifier_eval": classifier_eval_sql,
         "benford": benford_sql,

@@ -435,6 +435,7 @@ def main() -> None:
         "approx_heavy_hitters", "domain_cap", "bloom_decontam",
         "mojibake",
         "benford", "dup_rate", "canonical_dedup", "row_diff",
+        "text_classifier", "classifier_eval", "domain_graph", "pagerank",
     ]
     queries = entrymod.queries()
     from py_schemax_spark.operators.dedup import (

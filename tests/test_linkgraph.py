@@ -1,0 +1,187 @@
+"""Link-graph operators: outlink extraction, domain graph/degrees,
+and integer fixed-point PageRank (engine-exact contract)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_schemax_spark.operators.dedup import release_all_intermediates
+from py_schemax_spark.operators.linkgraph import (
+    domain_degrees,
+    domain_graph,
+    extract_outlinks,
+    pagerank,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, ["url", "html"])
+
+
+class TestExtractOutlinks:
+    def test_both_quote_styles_and_order(self, spark):
+        df = _pages(
+            spark,
+            [
+                (
+                    "https://a.org/x",
+                    '<a href="https://b.org/1">x</a>'
+                    "<a href='https://c.org/2'>y</a>",
+                )
+            ],
+        )
+        got = {
+            (r.src_url, r.dst_url)
+            for r in extract_outlinks(df).collect()
+        }
+        assert got == {
+            ("https://a.org/x", "https://b.org/1"),
+            ("https://a.org/x", "https://c.org/2"),
+        }
+
+    def test_relative_links_filtered_unless_asked(self, spark):
+        df = _pages(
+            spark, [("https://a.org", '<a href="/rel">r</a>')]
+        )
+        assert extract_outlinks(df).count() == 0
+        got = extract_outlinks(df, absolute_only=False).collect()
+        assert [r.dst_url for r in got] == ["/rel"]
+
+    def test_no_links_null_html_binary_html(self, spark):
+        df = _pages(
+            spark,
+            [
+                ("https://a.org", "<p>no links</p>"),
+                ("https://b.org", None),
+            ],
+        )
+        assert extract_outlinks(df).count() == 0
+        # binary html column (the BASELINE input_hint shape)
+        b = df.select("url", F.encode(F.col("html"), "UTF-8").alias("html"))
+        assert extract_outlinks(b).count() == 0
+        b2 = _pages(
+            spark, [("https://a.org", '<a href="https://z.org">z</a>')]
+        ).select("url", F.encode(F.col("html"), "UTF-8").alias("html"))
+        assert extract_outlinks(b2).count() == 1
+
+    def test_pure_projection_plan(self, spark):
+        df = _pages(
+            spark, [("https://a.org", '<a href="https://b.org">x</a>')]
+        )
+        plan = (
+            extract_outlinks(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan  # projection + generate only
+
+
+class TestDomainGraph:
+    def test_weights_and_degrees(self, spark):
+        df = _pages(
+            spark,
+            [
+                (
+                    "https://a.org/1",
+                    '<a href="https://b.org/x">1</a>'
+                    '<a href="https://b.org/y">2</a>'
+                    '<a href="https://c.org/z">3</a>',
+                ),
+                ("https://a.org/2", '<a href="https://b.org/w">4</a>'),
+                ("https://b.org/1", '<a href="https://c.org/q">5</a>'),
+            ],
+        )
+        g = domain_graph(extract_outlinks(df))
+        got = {
+            (r.src_domain, r.dst_domain): r.weight for r in g.collect()
+        }
+        assert got == {
+            ("a.org", "b.org"): 3,
+            ("a.org", "c.org"): 1,
+            ("b.org", "c.org"): 1,
+        }
+        deg = {r.domain: r for r in domain_degrees(g).collect()}
+        assert set(deg) == {"a.org", "b.org", "c.org"}
+        a, b, c = deg["a.org"], deg["b.org"], deg["c.org"]
+        assert (a.out_degree, a.in_degree, a.out_weight, a.in_weight) == (
+            2, 0, 4, 0,
+        )
+        assert (b.out_degree, b.in_degree, b.out_weight, b.in_weight) == (
+            1, 1, 1, 3,
+        )
+        assert (c.out_degree, c.in_degree, c.out_weight, c.in_weight) == (
+            0, 2, 0, 2,
+        )
+
+    def test_port_and_case_fold_into_domain(self, spark):
+        df = _pages(
+            spark,
+            [("https://A.Org:8080/x", '<a href="https://B.ORG:443/y">x</a>')],
+        )
+        g = domain_graph(extract_outlinks(df)).collect()
+        assert [(r.src_domain, r.dst_domain) for r in g] == [
+            ("a.org", "b.org")
+        ]
+
+
+def _py_pagerank(edges, iters, scale=1_000_000, damping_bp=8500):
+    """Single-process reference of the exact integer contract."""
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    outdeg = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = ((10000 - damping_bp) * scale) // 10000
+    r = {n: scale for n in nodes}
+    for _ in range(iters):
+        inc = {n: 0 for n in nodes}
+        for s, d in e:
+            inc[d] += r[s] // outdeg[s]
+        r = {n: base + (damping_bp * inc[n]) // 10000 for n in nodes}
+    return r
+
+
+class TestPagerank:
+    EDGES = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (1, 2)]  # dup edge
+
+    def _spark_ranks(self, spark, iters, parts=1):
+        df = spark.createDataFrame(self.EDGES, ["src", "dst"]).repartition(
+            parts
+        )
+        out = pagerank(df, iters=iters)
+        got = {r.node: r["rank"] for r in out.collect()}
+        release_all_intermediates()
+        return got
+
+    @pytest.mark.parametrize("iters", [1, 3])
+    def test_matches_python_reference(self, spark, iters):
+        assert self._spark_ranks(spark, iters) == _py_pagerank(
+            self.EDGES, iters
+        )
+
+    def test_partitioning_invariant(self, spark):
+        assert self._spark_ranks(spark, 3, parts=1) == self._spark_ranks(
+            spark, 3, parts=7
+        )
+
+    def test_dangling_node_keeps_base_plus_damped_zero(self, spark):
+        # 4 has no outlinks-in (only an out-edge) → pure-sink check is
+        # node 3's twin: node 4 never RECEIVES, rank settles at base
+        got = self._spark_ranks(spark, 3)
+        ref = _py_pagerank(self.EDGES, 3)
+        assert got[4] == ref[4]
+        base = (1500 * 1_000_000) // 10000
+        assert got[4] == base  # receives nothing after round 1
+
+    def test_null_keys_dropped_and_bad_iters(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2), (None, 3), (2, None)], ["src", "dst"]
+        )
+        out = pagerank(df, iters=1)
+        nodes = {r.node for r in out.collect()}
+        release_all_intermediates()
+        assert nodes == {1, 2}
+        with pytest.raises(ValueError):
+            pagerank(df, iters=0)
