@@ -1313,6 +1313,28 @@ def q_gopher_quality(spark, sf_dir):
     return gopher_profile(_quality_planted_text(spark, sf_dir))
 
 
+def q_domain_blocklist(spark, sf_dir):
+    """Domain blocklist induction from per-document Gopher verdicts:
+    gopher_profile (passthrough, still one projection) -> ONE
+    domain-granular groupBy. The planting makes it discriminative:
+    source = 'src'||doc_id%20, so each domain's docs share one plant
+    class (doc_id%4) and domains land at fail_bp 0 or 10000 — the
+    induced `blocked` set is exactly the domains whose plant class
+    fails Gopher. min_docs/null-verdict edge cases are pytested
+    (`test_quality.py`)."""
+    from py_schemax_spark.operators.quality import (
+        gopher_profile,
+        induce_domain_blocklist,
+    )
+
+    prof = gopher_profile(_quality_planted_text(spark, sf_dir),
+                          passthrough=True)
+    return induce_domain_blocklist(
+        prof, pass_col="gopher_pass", domain_col="source",
+        min_docs=5, max_fail_bp=2500,
+    )
+
+
 def q_c4_filters(spark, sf_dir):
     """C4 page-filter signals over the planted corpus."""
     from py_schemax_spark.operators.quality import c4_profile
@@ -1439,6 +1461,59 @@ def q_url_blocklist(spark, sf_dir):
         bl,
         pattern_rules=[("gambling", "casino"), ("tracking", r"[?&]utm_")],
     )
+
+
+def q_robots(spark, sf_dir):
+    """robots.txt disallow filtering (RFC 9309 subset), end-to-end:
+    per-domain robots bodies are synthesized DETERMINISTICALLY from
+    the source id, parsed with `parse_robots` (group structure,
+    exact-agent override of '*', comments), and applied with
+    `apply_robots` (longest-prefix, Allow-on-tie). The oracle does NOT
+    re-parse — it computes the expected verdict directly from the
+    planting formulas, so a parse bug anywhere in the pipeline breaks
+    the hash. Run as agent='mybot' so the exact-group-override path
+    (src%7==3 domains carry a mybot group that HIDES their '*' group)
+    is exercised on real data."""
+    from py_schemax_spark.operators.robots import apply_robots, parse_robots
+
+    d = _docs(spark, sf_dir)
+    src_num = F.regexp_extract("source", r"(\d+)$", 1).cast("int")
+    path = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("/private/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("/private/ok/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("/tmp/"), F.col("doc_id").cast("string")))
+        .otherwise(
+            F.concat(F.lit("/doc/"), F.col("doc_id").cast("string")))
+    )
+    docs = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org"), path
+        ).alias("url"),
+    )
+    star_block = (
+        "User-agent: badbot\nDisallow: /\n\n# synthetic robots\n"
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+    )
+    robots = (
+        d.select("source").distinct()
+        .select(
+            F.concat(F.col("source"), F.lit(".example.org")).alias("domain"),
+            F.concat(
+                F.when(
+                    src_num % 7 == 3,
+                    F.lit("User-agent: mybot\nDisallow: /doc/\n\n"),
+                ).otherwise(F.lit("")),
+                F.lit(star_block),
+                F.when(src_num % 2 == 0, F.lit("Disallow: /tmp/\n"))
+                .otherwise(F.lit("")),
+            ).alias("robots_txt"),
+        )
+    )
+    return apply_robots(docs, parse_robots(robots, user_agent="mybot"))
 
 
 def q_semdedup(spark, sf_dir):
@@ -2070,7 +2145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in round 4 — each green in BOTH the r02 and r03 driver
     records)."""
     return {
-        # -- block -4: round-4 wave-9 operators (newest first) --
+        # -- block -5: round-4 wave-10 operators (newest first) --
+        "robots": q_robots,
+        "domain_blocklist": q_domain_blocklist,
+        # -- block -4: round-4 wave-9 operators --
         "domain_graph": q_domain_graph,
         "pagerank": q_pagerank,
         # -- block -3: round-4 wave-8 operators --
@@ -3483,6 +3561,27 @@ SELECT doc_id,
 FROM raw
 """
 
+    # domain blocklist induction: reuse the full gopher oracle as a
+    # nested CTE (a wrong per-doc verdict OR a wrong aggregation both
+    # break the hash); `//` = exact integral division like the
+    # engine's `div`
+    domain_blocklist_sql = f"""
+WITH g AS ({gopher_sql})
+SELECT d.source AS domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN NOT coalesce(g.gopher_pass, false)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+       CAST((sum(CASE WHEN NOT coalesce(g.gopher_pass, false)
+                      THEN 1 ELSE 0 END) * 10000) // count(*)
+            AS BIGINT) AS fail_bp,
+       count(*) >= 5
+         AND sum(CASE WHEN NOT coalesce(g.gopher_pass, false)
+                      THEN 1 ELSE 0 END) * 10000 > 2500 * count(*)
+         AS blocked
+FROM g JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
     norm_case = " ".join(
         f"WHEN {i} THEN text || {_sql_str_expr(p)}"
         for i, p in enumerate(_NORM_PLANT)
@@ -3571,6 +3670,37 @@ FROM (
          END AS reason
   FROM planted p LEFT JOIN dmatch m USING (doc_id)
 ) p
+"""
+
+    # robots: the oracle does NOT re-parse the robots bodies — it
+    # computes the expected verdict straight from the planting
+    # formulas (agent='mybot'; src%7==3 domains have an exact mybot
+    # group that hides their '*' group per RFC 9309; even-src domains
+    # add a '*'-group Disallow:/tmp/), so a parse or precedence bug
+    # anywhere in the Spark pipeline breaks the hash
+    robots_sql = r"""
+WITH planted AS (
+  SELECT doc_id,
+         CAST(regexp_extract(source, '(\d+)$', 1) AS INT) AS src_num,
+         source || '.example.org' AS host,
+         CASE WHEN doc_id % 5 = 0 THEN '/private/' || doc_id
+              WHEN doc_id % 5 = 1 THEN '/private/ok/' || doc_id
+              WHEN doc_id % 5 = 2 THEN '/tmp/' || doc_id
+              ELSE '/doc/' || doc_id END AS path
+  FROM documents
+)
+SELECT doc_id, host, path,
+       CASE WHEN src_num % 7 = 3 THEN doc_id % 5 IN (3, 4)
+            WHEN doc_id % 5 = 0 THEN TRUE
+            WHEN doc_id % 5 = 2 THEN src_num % 2 = 0
+            ELSE FALSE END AS robots_blocked,
+       CASE WHEN src_num % 7 = 3 THEN
+              CASE WHEN doc_id % 5 IN (3, 4) THEN 'disallow:/doc/' END
+            WHEN doc_id % 5 = 0 THEN 'disallow:/private/'
+            WHEN doc_id % 5 = 1 THEN 'allow:/private/ok'
+            WHEN doc_id % 5 = 2 AND src_num % 2 = 0 THEN 'disallow:/tmp/'
+       END AS rule
+FROM planted
 """
 
     # containment contract: the Spark query returns exact-dup pairs
@@ -4007,6 +4137,8 @@ FROM documents
         "c4_filters": c4_sql,
         "normalize": normalize_sql,
         "url_blocklist": url_blocklist_sql,
+        "robots": robots_sql,
+        "domain_blocklist": domain_blocklist_sql,
         "corpus_mix": corpus_mix_sql,
         # semdedup: rows-only by design (float k-means); its exactness
         # gate is the empty-relation containment twin below

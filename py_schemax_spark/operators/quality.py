@@ -278,3 +278,54 @@ def c4_profile(
         "has_bad_phrase",
         keep.alias("c4_keep"),
     )
+
+
+def induce_domain_blocklist(
+    df: DataFrame,
+    pass_col: str,
+    domain_col: str = "domain",
+    min_docs: int = 100,
+    max_fail_bp: int = 5000,
+) -> DataFrame:
+    """Induce a domain blocklist from per-document quality verdicts.
+
+    Classifier-driven domain filtering (RefinedWeb §3.1 curates the
+    UT1 list this way; C4's spam-domain list is the same move): a
+    domain whose sampled documents mostly fail the quality rules is
+    blocked WHOLESALE, so later crawls skip it before fetching. Input
+    is any per-document frame carrying ``domain_col`` and a boolean
+    ``pass_col`` (``gopher_pass`` / ``c4_keep`` / a classifier
+    verdict); a null verdict counts as a FAIL (an unscorable document
+    is not evidence of quality).
+
+    Output: one row per domain — ``(domain, n_docs, n_fail, fail_bp,
+    blocked)`` where ``fail_bp = (10000 * n_fail) div n_docs``
+    (integer-exact basis points) and ``blocked`` requires BOTH a
+    minimum sample (``n_docs >= min_docs`` — a 1-doc domain is noise,
+    not evidence) and ``10000 * n_fail > max_fail_bp * n_docs`` (the
+    exact-integer form of ``fail_rate > max_fail_bp``, no float
+    division on the decision path).
+
+    Scale shape: ONE ``groupBy(domain)`` with map-side combine — the
+    only exchange is domain-granular. The induced list is exactly the
+    ``blocked_domains`` input shape of :func:`block_urls`
+    (``.filter("blocked").select(F.col("domain"))``), closing the
+    curate loop: induce on crawl N, block on crawl N+1.
+    """
+    fail = (~F.coalesce(F.col(pass_col), F.lit(False))).cast("long")
+    agg = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(fail).alias("n_fail"),
+    )
+    return agg.select(
+        "domain",
+        "n_docs",
+        "n_fail",
+        # `div` = exact integral division (a floored double quotient
+        # can sit a ULP off the expected value, same rule as _div_bp)
+        F.expr("n_fail * 10000 div n_docs").cast("bigint").alias("fail_bp"),
+        (
+            (F.col("n_docs") >= min_docs)
+            & (F.col("n_fail") * 10000 > F.lit(max_fail_bp) * F.col("n_docs"))
+        ).alias("blocked"),
+    )

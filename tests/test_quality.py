@@ -137,3 +137,73 @@ def test_quality_plan_is_scan_only(spark):
     for op in (gopher_profile, c4_profile):
         plan = op(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def test_induce_domain_blocklist_gates_and_exact_bp(spark):
+    from py_schemax_spark.operators.quality import induce_domain_blocklist
+
+    rows = (
+        # big.org: 3 docs, 2 fail (one via null verdict) -> 6666 bp,
+        # blocked at max_fail_bp=5000
+        [("big.org", True), ("big.org", False), ("big.org", None)]
+        # ok.org: 3 docs, 1 fail -> 3333 bp, not blocked
+        + [("ok.org", True), ("ok.org", True), ("ok.org", False)]
+        # tiny.org: 1 doc, 1 fail -> 10000 bp but UNDER min_docs
+        + [("tiny.org", False)]
+    )
+    df = spark.createDataFrame(rows, "domain string, gopher_pass boolean")
+    out = {
+        r["domain"]: r
+        for r in induce_domain_blocklist(
+            df, pass_col="gopher_pass", min_docs=2, max_fail_bp=5000
+        ).collect()
+    }
+    assert (out["big.org"]["n_docs"], out["big.org"]["n_fail"]) == (3, 2)
+    assert out["big.org"]["fail_bp"] == 6666  # exact integral div
+    assert out["big.org"]["blocked"] is True
+    assert out["ok.org"]["fail_bp"] == 3333
+    assert out["ok.org"]["blocked"] is False
+    # sample gate: 100% fail but only 1 doc
+    assert out["tiny.org"]["blocked"] is False
+
+
+def test_induce_domain_blocklist_threshold_is_strict(spark):
+    """Exactly AT the threshold is not blocked (rate must EXCEED)."""
+    from py_schemax_spark.operators.quality import induce_domain_blocklist
+
+    df = spark.createDataFrame(
+        [("d.org", False), ("d.org", True)],
+        "domain string, ok boolean",
+    )
+    row = induce_domain_blocklist(
+        df, pass_col="ok", min_docs=1, max_fail_bp=5000
+    ).collect()[0]
+    assert row["fail_bp"] == 5000 and row["blocked"] is False
+
+
+def test_induced_blocklist_feeds_block_urls(spark):
+    """Closing the curate loop: the induced list is block_urls input."""
+    from pyspark.sql import functions as F
+
+    from py_schemax_spark.operators.quality import induce_domain_blocklist
+    from py_schemax_spark.operators.urlfilter import block_urls
+
+    verdicts = spark.createDataFrame(
+        [("bad.org", False), ("bad.org", False), ("good.org", True),
+         ("good.org", True)],
+        "domain string, ok boolean",
+    )
+    bl = (
+        induce_domain_blocklist(verdicts, pass_col="ok", min_docs=2)
+        .filter("blocked")
+        .select("domain")
+    )
+    docs = spark.createDataFrame(
+        [(0, "https://sub.bad.org/x"), (1, "https://good.org/y")],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["blocked"]
+        for r in block_urls(docs, bl).collect()
+    }
+    assert got == {0: True, 1: False}
