@@ -2203,15 +2203,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         # -- block 2: core validation / dedup / ANN / text (§2) --
         "stats": q_stats,
-        "stats_salted_exact": q_stats_salted_exact,
-        "row_violations": q_row_violations,
         # ---- 50-entry window boundary (driver records up to here;
+        # `stats_salted_exact`/`row_violations` rotated below in wave
+        # 10 to make room for `robots`/`domain_blocklist` — both green
+        # in the r02 AND r03 driver records;
         # every entry below has a driver-green r03 row — or an oracled
         # containment twin above — and rotated out per the r03-verdict
         # policy to make room for new queries at the top;
         # `uniqueness`/`extraction` rotated below in wave 8 and
         # `referential`/`referential_large_dim` in wave 9 — each green
         # in BOTH the r02 and r03 driver records) ----
+        "stats_salted_exact": q_stats_salted_exact,
+        "row_violations": q_row_violations,
         "referential": q_referential,
         "referential_large_dim": q_referential_large_dim,
         "uniqueness": q_uniqueness,
