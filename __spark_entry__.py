@@ -933,6 +933,32 @@ def q_image_meta_ppm(spark, sf_dir):
     )
 
 
+def q_audio_meta(spark, sf_dir):
+    """REAL audio decode end-to-end, ORACLED: renders a deterministic
+    mono 16-bit PCM WAV per document (rate = 8000·(1+doc_id%3),
+    frames = 16+doc_id%32, sample k = ((3·doc_id+7k) mod 256)−128,
+    doc_id%5==0 payloads carry an odd-sized junk LIST chunk so RIFF
+    chunk walking + even-byte padding are exercised on real data),
+    decodes with the pure-numpy RIFF parser inside mapInPandas, and
+    emits INTEGER-exact metadata. DuckDB re-derives the per-sample
+    statistics independently via generate_series — a decoder or
+    arithmetic bug anywhere breaks the hash."""
+    from py_schemax_spark.operators.multimodal import (
+        audio_metadata,
+        render_wav_udf,
+    )
+
+    pages = _docs(spark, sf_dir).select("doc_id").withColumn(
+        "payload", render_wav_udf()(F.col("doc_id"))
+    )
+    meta = audio_metadata(pages, key_col="doc_id", payload_col="payload")
+    return meta.select(
+        F.col("key").cast("long").alias("doc_id"),
+        "channels", "sample_rate", "bits", "n_frames", "duration_ms",
+        "peak_abs", "mean_abs_x100",
+    )
+
+
 def q_image_resize(spark, sf_dir):
     """Multimodal resize plumbing: binary payload → decoded (stubbed
     deterministic fake) → nearest-neighbor 8×8 downsample → pixel
@@ -2145,7 +2171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in round 4 — each green in BOTH the r02 and r03 driver
     records)."""
     return {
-        # -- block -5: round-4 wave-10 operators (newest first) --
+        # -- block -6: round-4 wave-11 operators (newest first) --
+        "audio_meta": q_audio_meta,
+        # -- block -5: round-4 wave-10 operators --
         "robots": q_robots,
         "domain_blocklist": q_domain_blocklist,
         # -- block -4: round-4 wave-9 operators --
@@ -2198,7 +2226,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize": q_normalize,
         "url_blocklist": q_url_blocklist,
         "corpus_mix": q_corpus_mix,
-        "semdedup": q_semdedup,
         "semdedup_containment": q_semdedup_containment,
         "ccnet_buckets": q_ccnet_buckets,
         # -- block 2: core validation / dedup / ANN / text (§2) --
@@ -2206,13 +2233,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 50-entry window boundary (driver records up to here;
         # `stats_salted_exact`/`row_violations` rotated below in wave
         # 10 to make room for `robots`/`domain_blocklist` — both green
-        # in the r02 AND r03 driver records;
+        # in the r02 AND r03 driver records; `semdedup` (rows-only BY
+        # DESIGN — float k-means; its hash-green gate is
+        # `semdedup_containment`, still in-window) rotated below in
+        # wave 11 for `audio_meta`;
         # every entry below has a driver-green r03 row — or an oracled
         # containment twin above — and rotated out per the r03-verdict
         # policy to make room for new queries at the top;
         # `uniqueness`/`extraction` rotated below in wave 8 and
         # `referential`/`referential_large_dim` in wave 9 — each green
         # in BOTH the r02 and r03 driver records) ----
+        "semdedup": q_semdedup,
         "stats_salted_exact": q_stats_salted_exact,
         "row_violations": q_row_violations,
         "referential": q_referential,
@@ -4116,6 +4147,37 @@ SELECT doc_id,
             AS BIGINT) AS n_bytes,
        round(CAST(doc_id % 256 AS DOUBLE), 4) AS mean_intensity
 FROM documents
+""",
+        # audio_meta: the oracle re-derives the planted PCM samples
+        # (sample k = ((3·doc_id+7k) mod 256) − 128) with
+        # generate_series and recomputes every statistic in exact
+        # integer arithmetic (`//` = the engine's `div`)
+        "audio_meta": """
+WITH d AS (
+  SELECT doc_id,
+         CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+         CAST(16 + doc_id % 32 AS BIGINT) AS n_frames
+  FROM documents
+),
+s AS (
+  SELECT d.doc_id, abs(((3 * d.doc_id + 7 * g.k) % 256) - 128) AS a
+  FROM d, LATERAL (
+    SELECT unnest(generate_series(0, d.n_frames - 1)) AS k
+  ) g
+),
+st AS (
+  SELECT doc_id, max(a) AS peak, sum(a) AS total, count(*) AS n
+  FROM s GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(1 AS INTEGER) AS channels,
+       d.sample_rate,
+       CAST(16 AS INTEGER) AS bits,
+       d.n_frames,
+       CAST((d.n_frames * 1000) // d.sample_rate AS BIGINT) AS duration_ms,
+       CAST(st.peak AS INTEGER) AS peak_abs,
+       CAST((st.total * 100) // st.n AS BIGINT) AS mean_abs_x100
+FROM d JOIN st USING (doc_id)
 """,
         "ann_pairs": ann_pairs_sql,
         "ann_pairs_blocked": ann_pairs_sql,

@@ -240,3 +240,161 @@ def frame_sample_plan(
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_index"),
     )
+
+
+# --- audio: real RIFF/WAVE PCM decode (pure stdlib/numpy) -------------
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak_abs", T.IntegerType()),
+        T.StructField("mean_abs_x100", T.LongType()),
+    ]
+)
+
+
+def decode_wav_real(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Pure-numpy RIFF/WAVE decoder (PCM format 1, 8/16-bit) — the
+    audio analogue of ``decode_image_real``: a REAL end-to-end decode
+    path with zero dependencies. Walks the chunk list (skipping
+    LIST/fact/etc., honoring the even-byte chunk padding the RIFF spec
+    requires), so payloads from real encoders parse. Returns
+    ``(channels, sample_rate, bits, interleaved_int16_samples)``
+    (8-bit unsigned PCM is re-centered to signed). Raises
+    ``ValueError`` for non-WAV / compressed payloads; richer codecs
+    (MP3/FLAC/OGG) need an audio lib in production."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        sz = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)  # chunks pad to even length
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("missing fmt /data chunk")
+    if int.from_bytes(fmt[0:2], "little") != 1:
+        raise ValueError("only uncompressed PCM (format 1) supported")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if channels < 1 or rate < 1:
+        raise ValueError("invalid fmt chunk")
+    if bits == 16:
+        samples = np.frombuffer(
+            data, dtype="<i2", count=len(data) // 2
+        ).astype(np.int16)
+    elif bits == 8:
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+        )
+    else:
+        raise ValueError("only 8/16-bit PCM supported")
+    return channels, rate, bits, samples
+
+
+def render_wav_udf():
+    """Arrow UDF: id → deterministic mono 16-bit PCM WAV payload
+    (rate = 8000·(1+id%3), frames = 16+id%32, sample k =
+    ((3·id+7·k) mod 256) − 128) — every metadata column is a
+    closed-form function of the id, so the SQL oracle recomputes the
+    sample statistics independently with generate_series. ids with
+    id%5==0 get a junk LIST chunk (odd-sized, so the even-byte pad
+    rule is exercised) between fmt and data."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.BinaryType())
+    def render(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            rate = 8000 * (1 + i % 3)
+            n = 16 + i % 32
+            samples = ((3 * i + 7 * np.arange(n)) % 256 - 128).astype(
+                "<i2"
+            )
+            data = samples.tobytes()
+            fmt = (
+                (1).to_bytes(2, "little")          # PCM
+                + (1).to_bytes(2, "little")        # mono
+                + rate.to_bytes(4, "little")
+                + (rate * 2).to_bytes(4, "little")  # byte rate
+                + (2).to_bytes(2, "little")        # block align
+                + (16).to_bytes(2, "little")       # bits
+            )
+            chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            if i % 5 == 0:
+                junk = b"INFOx"  # odd size -> pad byte required
+                chunks += (
+                    b"LIST" + len(junk).to_bytes(4, "little") + junk + b"\0"
+                )
+            chunks += b"data" + len(data).to_bytes(4, "little") + data
+            out.append(
+                b"RIFF"
+                + (4 + len(chunks)).to_bytes(4, "little")
+                + b"WAVE"
+                + chunks
+            )
+        return pd.Series(out)
+
+    return render
+
+
+def audio_metadata(
+    df: DataFrame,
+    key_col: str = "url",
+    payload_col: str = "html",
+    decoder=None,
+) -> DataFrame:
+    """Audio decode/feature-extract via ``mapInPandas`` — same plan
+    shape as ``image_metadata``: (key, payload) projected before the
+    Python stage so unrelated scans stay payload-free, Arrow-batched,
+    typed metadata out. Statistics are INTEGER-exact (``duration_ms =
+    frames·1000 div rate``, ``mean_abs_x100 = Σ|s|·100 div count``) so
+    the oracle hash cannot drift on float rounding. Undecodable or
+    null payloads are dropped (count them upstream via a violations
+    pass if needed)."""
+    decoder = decoder or decode_wav_real
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, payload in zip(pdf["k"], pdf["p"]):
+                if payload is None:
+                    continue
+                try:
+                    ch, rate, bits, samples = decoder(bytes(payload))
+                except ValueError:
+                    continue
+                n_frames = len(samples) // ch
+                a = np.abs(samples.astype(np.int64))
+                rows.append(
+                    (
+                        str(key),
+                        ch,
+                        rate,
+                        bits,
+                        n_frames,
+                        n_frames * 1000 // rate,
+                        int(a.max()) if len(a) else 0,
+                        int(a.sum() * 100 // len(a)) if len(a) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields]
+            )
+
+    pruned = df.select(
+        F.col(key_col).alias("k"), F.col(payload_col).alias("p")
+    )
+    return pruned.mapInPandas(extract, AUDIO_META_SCHEMA)
