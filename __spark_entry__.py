@@ -723,6 +723,46 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, queries, dim=64, k=10, n_lists=16, nprobe=4)
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ADC top-k in its realistic regime (m=8
+    subspaces, 32 codes each → a 64-dim float vector scores from 8
+    table gathers over an index ~30× smaller than the raw floats).
+    Rows-only; the planted-twin retrieval + codebook determinism are
+    pytested and `ann_pq_exact` is the hash gate."""
+    from py_schemax_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull()
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, dim=64, k=10, m=8, n_codes=32,
+                   sample=4096, iters=3)
+
+
+def q_ann_pq_exact(spark, sf_dir):
+    """PQ in its EXACT regime (m=1, n_codes = corpus size, iters=0 →
+    the codebook IS the corpus, every vector reconstructs exactly, and
+    ADC equals brute-force cosine by construction) — ORACLED on
+    ann_topk's SQL. This pins the entire PQ machinery (deterministic
+    sampling/init, euclidean encode with lowest-code tie-break, LUT
+    gather, reconstruction-norm division, final window) to a
+    DuckDB-checked exact answer; realistic (m, n_codes) runs then
+    differ only by quantization error."""
+    from py_schemax_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull()
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n = emb.count()
+    return pq_topk(emb, queries, dim=64, k=10, m=1, n_codes=n,
+                   sample=n, iters=0)
+
+
 def q_ann_ivf_exact(spark, sf_dir):
     """IVF in its EXACT regime (nprobe = n_lists → every list probed →
     identical to brute force by construction) — ORACLED on ann_topk's
@@ -2172,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     records)."""
     return {
         # -- block -6: round-4 wave-11 operators (newest first) --
+        "ann_pq_exact": q_ann_pq_exact,
         "audio_meta": q_audio_meta,
         # -- block -5: round-4 wave-10 operators --
         "robots": q_robots,
@@ -2229,21 +2270,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_containment": q_semdedup_containment,
         "ccnet_buckets": q_ccnet_buckets,
         # -- block 2: core validation / dedup / ANN / text (§2) --
-        "stats": q_stats,
         # ---- 50-entry window boundary (driver records up to here;
         # `stats_salted_exact`/`row_violations` rotated below in wave
         # 10 to make room for `robots`/`domain_blocklist` — both green
         # in the r02 AND r03 driver records; `semdedup` (rows-only BY
         # DESIGN — float k-means; its hash-green gate is
         # `semdedup_containment`, still in-window) rotated below in
-        # wave 11 for `audio_meta`;
+        # wave 11 for `audio_meta`; `stats` (green in r01+r02+r03
+        # driver records, the longest history of any query) rotated
+        # below in wave 11b for `ann_pq_exact`;
         # every entry below has a driver-green r03 row — or an oracled
         # containment twin above — and rotated out per the r03-verdict
         # policy to make room for new queries at the top;
         # `uniqueness`/`extraction` rotated below in wave 8 and
         # `referential`/`referential_large_dim` in wave 9 — each green
         # in BOTH the r02 and r03 driver records) ----
+        "stats": q_stats,
         "semdedup": q_semdedup,
+        "ann_pq": q_ann_pq,
         "stats_salted_exact": q_stats_salted_exact,
         "row_violations": q_row_violations,
         "referential": q_referential,
@@ -4182,6 +4226,9 @@ FROM d JOIN st USING (doc_id)
         "ann_pairs": ann_pairs_sql,
         "ann_pairs_blocked": ann_pairs_sql,
         "ann_topk": ann_topk_sql,
+        # PQ exact regime reconstructs every vector exactly -> same
+        # answer (and SQL) as brute-force ann_topk
+        "ann_pq_exact": ann_topk_sql,
         "lang_id": lang_id_sql,
         "repetition_profile": repetition_sql,
         "pii_scan": pii_sql,

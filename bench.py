@@ -436,7 +436,7 @@ def main() -> None:
         "mojibake",
         "benford", "dup_rate", "canonical_dedup", "row_diff",
         "text_classifier", "classifier_eval", "domain_graph", "pagerank",
-        "robots", "domain_blocklist", "audio_meta",
+        "robots", "domain_blocklist", "audio_meta", "ann_pq",
     ]
     queries = entrymod.queries()
     from py_schemax_spark.operators.dedup import (

@@ -1059,3 +1059,83 @@ def test_dedup_clusters_broadcast_gate_both_branches(spark):
             for r in out.collect()
         }
         assert rows == expect
+
+
+# --- product quantization -------------------------------------------
+
+
+def test_pq_exact_regime_equals_brute_force(spark):
+    """m=1, n_codes=n, iters=0: the codebook IS the corpus, ADC equals
+    brute-force cosine bit-for-bit (incl. the 4-decimal rounding and
+    vec_id tie-break)."""
+    from py_schemax_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("embedding").isNotNull())
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n = emb.count()
+    exact = pq_topk(emb, queries, dim=64, k=5, m=1, n_codes=n,
+                    sample=n, iters=0)
+    bf = brute_force_topk(emb, queries, k=5)
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["sim"])
+    assert sorted(map(key, exact.collect())) == sorted(
+        map(key, bf.collect())
+    )
+
+
+def test_pq_planted_twin_retrieved(spark):
+    """A planted exact twin of each query must surface in the ADC
+    top-k: it shares the query's codes, so its reconstruction is the
+    closest thing the index can represent."""
+    from py_schemax_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("embedding").isNotNull())
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    twins = queries.select(
+        (F.col("query_id") + 1_000_000).alias("vec_id"),
+        F.col("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").union(twins)
+    got = pq_topk(corpus, queries, dim=64, k=10, m=8, n_codes=32,
+                  sample=4096, iters=3)
+    hits = {
+        r["query_id"]
+        for r in got.collect()
+        if r["vec_id"] == r["query_id"] + 1_000_000
+    }
+    assert hits == {0, 1, 2}
+
+
+def test_pq_codebooks_deterministic_and_validated(spark):
+    import numpy as np
+
+    from py_schemax_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("embedding").isNotNull())
+    b1 = train_pq_codebooks(emb, dim=64, m=4, n_codes=8, sample=200,
+                            iters=2)
+    b2 = train_pq_codebooks(emb, dim=64, m=4, n_codes=8, sample=200,
+                            iters=2)
+    assert b1.shape == (4, 8, 16) and np.array_equal(b1, b2)
+    codes = pq_encode(emb, b1).collect()
+    assert all(len(r["codes"]) == 4 for r in codes)
+    assert all(0 <= c < 8 for r in codes for c in r["codes"])
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(emb, dim=64, m=7)
+    with pytest.raises(ValueError, match="n_codes"):
+        train_pq_codebooks(emb, dim=64, m=4, n_codes=64, sample=10)
