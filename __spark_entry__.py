@@ -763,6 +763,45 @@ def q_ann_pq_exact(spark, sf_dir):
                    sample=n, iters=0)
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF+PQ (the production faiss-style architecture: coarse lists
+    prune WHICH vectors score, residual PQ codes shrink WHAT a score
+    reads). Rows-only; planted-twin retrieval pytested and
+    `ann_ivfpq_exact` is the hash gate."""
+    from py_schemax_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull()
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(emb, queries, dim=64, k=10, n_lists=8, nprobe=2,
+                      m=8, n_codes=32, sample=4096, iters_kmeans=1,
+                      iters_pq=3)
+
+
+def q_ann_ivfpq_exact(spark, sf_dir):
+    """IVF+PQ in its EXACT regime (one list probed of one, residual
+    codebook = every corpus residual → reconstruction exact, ADC
+    equals brute-force cosine) — ORACLED on ann_topk's SQL. Pins the
+    full pipeline: coarse assign, residual computation, residual
+    encode, LUT + cross-term + reconstruction-norm algebra, probed-
+    list masking, final window."""
+    from py_schemax_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull()
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n = emb.count()
+    return ivfpq_topk(emb, queries, dim=64, k=10, n_lists=1, nprobe=1,
+                      m=1, n_codes=n, sample=n, iters_kmeans=0,
+                      iters_pq=0)
+
+
 def q_ann_ivf_exact(spark, sf_dir):
     """IVF in its EXACT regime (nprobe = n_lists → every list probed →
     identical to brute force by construction) — ORACLED on ann_topk's
@@ -2212,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     records)."""
     return {
         # -- block -6: round-4 wave-11 operators (newest first) --
+        "ann_ivfpq_exact": q_ann_ivfpq_exact,
         "ann_pq_exact": q_ann_pq_exact,
         "audio_meta": q_audio_meta,
         # -- block -5: round-4 wave-10 operators --
@@ -2267,7 +2307,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize": q_normalize,
         "url_blocklist": q_url_blocklist,
         "corpus_mix": q_corpus_mix,
-        "semdedup_containment": q_semdedup_containment,
         "ccnet_buckets": q_ccnet_buckets,
         # -- block 2: core validation / dedup / ANN / text (§2) --
         # ---- 50-entry window boundary (driver records up to here;
@@ -2277,8 +2316,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DESIGN — float k-means; its hash-green gate is
         # `semdedup_containment`, still in-window) rotated below in
         # wave 11 for `audio_meta`; `stats` (green in r01+r02+r03
-        # driver records, the longest history of any query) rotated
-        # below in wave 11b for `ann_pq_exact`;
+        # driver records, the longest history of any query) and
+        # `semdedup_containment` (empty-set gate, planted-twin
+        # collapse also pytested) rotated below in waves 11b/11c for
+        # `ann_pq_exact`/`ann_ivfpq_exact` so every round-3 curation
+        # query incl. `ccnet_buckets` keeps its first-record slot;
         # every entry below has a driver-green r03 row — or an oracled
         # containment twin above — and rotated out per the r03-verdict
         # policy to make room for new queries at the top;
@@ -2287,7 +2329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in BOTH the r02 and r03 driver records) ----
         "stats": q_stats,
         "semdedup": q_semdedup,
+        "semdedup_containment": q_semdedup_containment,
         "ann_pq": q_ann_pq,
+        "ann_ivfpq": q_ann_ivfpq,
         "stats_salted_exact": q_stats_salted_exact,
         "row_violations": q_row_violations,
         "referential": q_referential,
@@ -4229,6 +4273,7 @@ FROM d JOIN st USING (doc_id)
         # PQ exact regime reconstructs every vector exactly -> same
         # answer (and SQL) as brute-force ann_topk
         "ann_pq_exact": ann_topk_sql,
+        "ann_ivfpq_exact": ann_topk_sql,
         "lang_id": lang_id_sql,
         "repetition_profile": repetition_sql,
         "pii_scan": pii_sql,

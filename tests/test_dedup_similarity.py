@@ -1139,3 +1139,66 @@ def test_pq_codebooks_deterministic_and_validated(spark):
         train_pq_codebooks(emb, dim=64, m=7)
     with pytest.raises(ValueError, match="n_codes"):
         train_pq_codebooks(emb, dim=64, m=4, n_codes=64, sample=10)
+
+
+def test_ivfpq_exact_regime_equals_brute_force(spark):
+    """n_lists=1/nprobe=1/m=1/n_codes=n/iters=0: residual codebook is
+    every corpus residual -> exact reconstruction -> ADC == brute
+    force (incl. rounding and tie-break)."""
+    from py_schemax_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("embedding").isNotNull())
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n = emb.count()
+    exact = ivfpq_topk(emb, queries, dim=64, k=5, n_lists=1, nprobe=1,
+                       m=1, n_codes=n, sample=n, iters_kmeans=0,
+                       iters_pq=0)
+    bf = brute_force_topk(emb, queries, k=5)
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["sim"])
+    assert sorted(map(key, exact.collect())) == sorted(
+        map(key, bf.collect())
+    )
+
+
+def test_ivfpq_planted_twin_retrieved_and_pruning_real(spark):
+    """Twins of each query surface in the top-k even with only
+    nprobe=2 of 8 lists scanned; and with nprobe=1 far-off lists are
+    genuinely masked (result is a subset of the full-probe result)."""
+    from py_schemax_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("embedding").isNotNull())
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    twins = queries.select(
+        (F.col("query_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").union(twins)
+    got = ivfpq_topk(corpus, queries, dim=64, k=10, n_lists=8,
+                     nprobe=2, m=8, n_codes=32, sample=4096,
+                     iters_kmeans=1, iters_pq=3)
+    hits = {
+        r["query_id"]
+        for r in got.collect()
+        if r["vec_id"] == r["query_id"] + 1_000_000
+    }
+    assert hits == {0, 1, 2}
+    narrow = ivfpq_topk(corpus, queries, dim=64, k=10, n_lists=8,
+                        nprobe=1, m=8, n_codes=32, sample=4096,
+                        iters_kmeans=1, iters_pq=3)
+    wide = ivfpq_topk(corpus, queries, dim=64, k=10, n_lists=8,
+                      nprobe=8, m=8, n_codes=32, sample=4096,
+                      iters_kmeans=1, iters_pq=3)
+    n_ids = {(r["query_id"], r["vec_id"]) for r in narrow.collect()}
+    w_ids = {(r["query_id"], r["vec_id"]) for r in wide.collect()}
+    # nprobe=1 scores a strict subset of the candidate space
+    assert len(n_ids) <= len(w_ids)
