@@ -141,8 +141,42 @@ class TDigest:
         if self.means.size == 0:
             return np.full(len(xs), np.nan)
         total = self.weights.sum()
-        cum = np.cumsum(self.weights) - self.weights / 2
-        return np.clip(np.interp(xs, self.means, cum / total), 0.0, 1.0)
+        cum = (np.cumsum(self.weights) - self.weights / 2) / total
+        means = self.means
+        if means.size == 1:
+            return np.where(
+                np.asarray(xs) < means[0], 0.0, 1.0
+            ).astype(np.float64)
+        # NOT np.interp: it precomputes slopes (f2-f1)/(x2-x1), and a
+        # subnormal gap between adjacent centroid means overflows the
+        # slope to inf — the cdf then clips to 1.0 mid-range and is no
+        # longer monotone (hypothesis-found; pinned in
+        # test_tdigest_cdf_monotone_after_merge). Interpolate with the
+        # bounded ratio t = (x-x1)/(x2-x1) ∈ [0,1] instead: both
+        # numerator and denominator share the same scale, so the
+        # division cannot overflow, and t·(f2-f1) ≤ f2-f1 keeps every
+        # segment inside its endpoints — monotone by construction.
+        x = np.asarray(xs, dtype=np.float64)
+        idx = np.clip(
+            np.searchsorted(means, x, side="left"), 1, means.size - 1
+        )
+        x1, x2 = means[idx - 1], means[idx]
+        f1, f2 = cum[idx - 1], cum[idx]
+        denom = x2 - x1
+        t = np.clip(
+            np.divide(
+                x - x1,
+                np.where(denom > 0, denom, 1.0),
+                out=np.zeros_like(x),
+                where=denom > 0,
+            ),
+            0.0,
+            1.0,
+        )
+        # duplicate-mean runs (denom == 0): snap to the right endpoint
+        # when x has reached x2, matching searchsorted's step there
+        t = np.where((denom <= 0) & (x >= x2), 1.0, t)
+        return np.clip(f1 + t * (f2 - f1), 0.0, 1.0)
 
     # --- serialization ------------------------------------------------------
 

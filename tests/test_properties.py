@@ -8,7 +8,7 @@ single-shot, serialization faithfulness, loader never-raises."""
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from py_schemax_spark.functions.tdigest import TDigest, merge_all
 from py_schemax_spark.specs.loader import validate_spec_dict
@@ -72,6 +72,72 @@ def test_tdigest_serialization_faithful(values):
     st.lists(finite, min_size=1, max_size=500),
     st.lists(finite, min_size=1, max_size=500),
 )
+@example(
+    a=[0.0],
+    b=[0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     0.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     1.0,
+     2.2250738585e-313,
+     2.225073858507e-311],
+).via('discovered failure')
 def test_tdigest_cdf_monotone_after_merge(a, b):
     ta, tb = TDigest(100), TDigest(100)
     ta.add(np.array(a))
