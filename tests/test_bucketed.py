@@ -132,3 +132,58 @@ def test_one_file_per_bucket(spark, tmp_path):
         assert len(files) == 4, files
     finally:
         spark.sql("DROP TABLE IF EXISTS t_files")
+
+
+def test_validation_uniqueness_over_bucketed_table_is_shuffle_free(
+    spark, tmp_path
+):
+    """The north-star integration: the pages table written bucketed on
+    the validation key makes BOTH uniqueness plans (dup-count groupBy
+    and first-wins attribution window) exchange-free — the dominant
+    shuffle of the 10^12-row validation pass is paid once at ingest."""
+    from py_schemax_spark.operators.uniqueness import (
+        duplicate_keys,
+        uniqueness_violations,
+    )
+    from py_schemax_spark.specs.loader import validate_spec_dict
+
+    pages = spark.range(0, 3000).select(
+        # url is a pure function of id % 2900, so ids 2900..2999
+        # duplicate the urls of ids 0..99 exactly
+        F.concat(F.lit("https://d"),
+                 ((F.col("id") % 2900) % 41).cast("string"),
+                 F.lit(".org/p/"), (F.col("id") % 2900).cast("string")
+                 ).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias(
+            "warc_ts"
+        ),
+        F.col("id").cast("string").alias("text"),
+    )
+    write_bucketed(pages, "t_pages_b", "url", 8,
+                   path=str(tmp_path / "pb"))
+    try:
+        t = spark.table("t_pages_b")
+        dups = duplicate_keys(t, "url")
+        plan = _plan(dups)
+        assert "Exchange" not in plan, plan
+        assert dups.count() == 100  # ids 2900..2999 collide mod 2900
+
+        spec = validate_spec_dict(
+            {
+                "fqn": "w.pages",
+                "key": "url",
+                "columns": [
+                    {"name": "url", "type": "string", "unique": True},
+                    {"name": "warc_ts", "type": "datetime"},
+                    {"name": "text", "type": "string"},
+                ],
+            }
+        ).spec
+        viol = uniqueness_violations(t, spec, order_col="warc_ts")
+        vplan = _plan(viol)
+        # the attribution window re-uses the bucket partitioning: a
+        # Sort remains (windows need in-partition order), no Exchange
+        assert "Exchange" not in vplan, vplan
+        assert viol.count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pages_b")
