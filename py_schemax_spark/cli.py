@@ -99,8 +99,8 @@ def build_parser() -> argparse.ArgumentParser:
     cu = sub.add_parser(
         "curate",
         help="run the web-corpus curation pipeline over a parquet table "
-             "(blocklist -> normalize -> quality -> line dedup -> exact "
-             "dedup -> near dedup -> mix)",
+             "(robots -> blocklist -> normalize -> quality -> line dedup "
+             "-> exact dedup -> near dedup -> mix)",
     )
     cu.add_argument("table", help="input table (parquet path / warc: URI)")
     cu.add_argument("--out", required=True, metavar="DIR",
@@ -112,6 +112,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="URL column (required for the blocklist stage)")
     cu.add_argument("--blocklist", default=None, metavar="FILE",
                     help="blocked domains, one per line")
+    cu.add_argument("--robots", default=None, metavar="PATH",
+                    help="parquet table of (domain, robots_txt) bodies "
+                         "for the robots stage")
+    cu.add_argument("--robots-agent", default="*",
+                    help="product token to obey in robots.txt groups "
+                         "(default '*')")
     cu.add_argument("--pattern-rule", action="append", default=[],
                     metavar="NAME=REGEX",
                     help="ordered URL pattern rule (repeatable)")
@@ -390,6 +396,9 @@ def curate_main(ns, spark=None) -> int:
     if ns.blocklist and not ns.url_col:
         print("error: --blocklist requires --url-col", file=sys.stderr)
         return 2
+    if ns.robots and not ns.url_col:
+        print("error: --robots requires --url-col", file=sys.stderr)
+        return 2
 
     own_spark = spark is None
     if own_spark:
@@ -408,9 +417,18 @@ def curate_main(ns, spark=None) -> int:
             blocked = spark.createDataFrame(
                 [(d,) for d in doms], "domain string"
             )
+        rules_df = None
+        if ns.robots:
+            from py_schemax_spark.operators.robots import parse_robots
+
+            rules_df = parse_robots(
+                spark.read.parquet(ns.robots),
+                user_agent=ns.robots_agent,
+            )
         try:
             curated, rep = run_curation(
-                df, cfg, blocked_domains=blocked, report=not ns.no_report
+                df, cfg, blocked_domains=blocked, robots_rules=rules_df,
+                report=not ns.no_report
             )
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 STAGES = (
+    "robots",
     "blocklist",
     "normalize",
     "quality",
@@ -81,6 +82,7 @@ def run_curation(
     df: DataFrame,
     config: CurationConfig | None = None,
     blocked_domains: DataFrame | None = None,
+    robots_rules: DataFrame | None = None,
     report: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Run the enabled stages over ``df``; returns ``(curated_df,
@@ -106,6 +108,15 @@ def run_curation(
     k, t = cfg.key_col, cfg.text_col
     explicit = cfg.steps is not None
     steps = list(cfg.steps if explicit else STAGES)
+    if "robots" in steps and (robots_rules is None or not cfg.url_col):
+        if explicit:
+            raise ValueError(
+                "steps explicitly include 'robots' but "
+                + ("no robots_rules table was given"
+                   if robots_rules is None
+                   else "url_col is not configured")
+            )
+        steps.remove("robots")
     if "blocklist" in steps and (blocked_domains is None or not cfg.url_col):
         if explicit:
             raise ValueError(
@@ -147,6 +158,25 @@ def run_curation(
         return cp
 
     in_cols = list(df.columns)
+
+    if "robots" in steps:
+        from py_schemax_spark.operators.robots import apply_robots
+
+        # robots comes FIRST: a page the site forbade crawling should
+        # not even reach content-level curation (rules = parse_robots
+        # output, domain-granular, gated broadcast inside the op)
+        cur = _record(
+            "robots",
+            apply_robots(
+                cur,
+                robots_rules,
+                url_col=cfg.url_col,
+                key_col=k,
+                passthrough=True,
+            )
+            .filter(~F.col("robots_blocked"))
+            .select(*in_cols),
+        )
 
     if "blocklist" in steps:
         cur = _record(

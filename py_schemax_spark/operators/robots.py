@@ -137,9 +137,13 @@ def apply_robots(
     url_col: str = "url",
     key_col: str = "doc_id",
     max_broadcast_domains: int = 5_000_000,
+    passthrough: bool = False,
 ) -> DataFrame:
     """Per-document robots verdict: ``(key_col, host, path,
-    robots_blocked, rule)``.
+    robots_blocked, rule)`` — or every input column plus the verdict
+    columns when ``passthrough=True`` (the plan stays one gated
+    equi-join either way, so the curate pipeline filters without a
+    join back).
 
     ``rules`` is ``parse_robots`` output ``(domain, prefix,
     is_allow)``. ``rule`` names the winning rule
@@ -160,11 +164,23 @@ def apply_robots(
     if not _exceeds(grouped, max_broadcast_domains):
         grouped = F.broadcast(grouped)
 
+    if passthrough:
+        from py_schemax_spark.operators.common import (
+            check_passthrough_collisions,
+        )
+
+        check_passthrough_collisions(
+            df,
+            ["host", "path", "robots_blocked", "rule", "_rules", "_best",
+             "domain"],
+            "apply_robots",
+        )
+    base_cols = list(df.columns) if passthrough else [key_col]
     # materialize host/path as real columns BEFORE the HOF: a lambda
     # over a computed child is re-evaluated per element (SURVEY §7)
     url = F.col(url_col)
     base = df.select(
-        F.col(key_col),
+        *[F.col(x) for x in base_cols],
         url_host(url).alias("host"),
         # an absent path means the root — robots prefixes match '/'
         F.when(url_path(url) == "", F.lit("/"))
@@ -203,8 +219,9 @@ def apply_robots(
     )
     out = joined.withColumn("_best", best)
     b = F.col("_best")
+    keep = base_cols if passthrough else [key_col]
     return out.select(
-        key_col,
+        *keep,
         "host",
         "path",
         ((b["len"] >= 0) & ~b["is_allow"]).alias("robots_blocked"),

@@ -148,3 +148,45 @@ def test_curate_cli_bad_budget_exits_2(spark, tmp_path):
         spark=spark,
     )
     assert rc == 2
+
+
+def test_curation_robots_stage_first(spark):
+    """robots runs before every content stage; its report row records
+    the drop; rules come from parse_robots output."""
+    from pyspark.sql import functions as F
+
+    from py_schemax_spark.curate import CurationConfig, run_curation
+    from py_schemax_spark.operators.robots import parse_robots
+
+    docs = spark.createDataFrame(
+        [(i,
+          f"https://ex.org/{'private' if i % 2 else 'pub'}/{i}",
+          "the be to of and that have with some words here. " * 10,
+          "en")
+         for i in range(20)],
+        "doc_id long, url string, text string, lang string",
+    )
+    robots = spark.createDataFrame(
+        [("ex.org", "User-agent: *\nDisallow: /private\n")],
+        "domain string, robots_txt string",
+    )
+    out, rep = run_curation(
+        docs,
+        CurationConfig(url_col="url", steps=("robots", "exact_dedup")),
+        robots_rules=parse_robots(robots),
+    )
+    assert rep["stages"]["robots"] == {"in": 20, "out": 10}
+    assert out.filter(F.col("doc_id") % 2 == 1).count() == 0
+
+
+def test_curation_robots_stage_strict_when_explicit(spark):
+    import pytest as _pytest
+
+    from py_schemax_spark.curate import CurationConfig, run_curation
+
+    docs = spark.createDataFrame(
+        [(0, "https://a.org/x", "t", "en")],
+        "doc_id long, url string, text string, lang string",
+    )
+    with _pytest.raises(ValueError, match="robots"):
+        run_curation(docs, CurationConfig(url_col="url", steps=("robots",)))

@@ -194,3 +194,37 @@ def test_end_to_end_parse_then_apply(spark):
         (False, None),
         (False, None),
     ]
+
+
+def test_apply_robots_passthrough_filters_in_one_plan(spark):
+    rules = spark.createDataFrame(
+        [("ex.org", "/x", False)],
+        "domain string, prefix string, is_allow boolean",
+    )
+    docs = spark.createDataFrame(
+        [(0, "https://ex.org/x/1", "keep-cols"),
+         (1, "https://ex.org/y", "survive")],
+        "doc_id long, url string, text string",
+    )
+    from py_schemax_spark.operators.robots import apply_robots
+
+    out = apply_robots(docs, rules, passthrough=True)
+    assert set(docs.columns) <= set(out.columns)
+    kept = out.filter("NOT robots_blocked").collect()
+    assert [(r["doc_id"], r["text"]) for r in kept] == [(1, "survive")]
+
+
+def test_apply_robots_passthrough_collision_raises(spark):
+    import pytest as _pytest
+
+    rules = spark.createDataFrame(
+        [("ex.org", "/x", False)],
+        "domain string, prefix string, is_allow boolean",
+    )
+    docs = spark.createDataFrame(
+        [(0, "https://ex.org/x", "h")], "doc_id long, url string, host string"
+    )
+    from py_schemax_spark.operators.robots import apply_robots
+
+    with _pytest.raises(ValueError):
+        apply_robots(docs, rules, passthrough=True)
