@@ -1189,6 +1189,51 @@ def q_keywords(spark, sf_dir):
     return tfidf_topk_terms(d, text_col="text", key_col="doc_id", k=5)
 
 
+def q_html_meta(spark, sf_dir):
+    """Crawl-index metadata extraction (title / meta description /
+    canonical / html lang) from planted markup: attribute ORDER varies
+    by doc_id (name-then-content vs content-then-name, rel-then-href
+    vs href-then-rel) so both coalesced patterns are exercised; some
+    docs omit each field (NULL, not ''). Oracle recomputes every field
+    in closed form from the planting formulas."""
+    from py_schemax_spark.operators.htmlstats import html_metadata
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    html = F.concat(
+        F.when(F.col("lang").isNull(), F.lit("<html><head>")).otherwise(
+            F.concat(F.lit('<html lang="'), F.col("lang"),
+                     F.lit('"><head>'))
+        ),
+        F.when(did % 5 == 4, F.lit("")).otherwise(
+            F.concat(F.lit("<title>Doc "), ds, F.lit("</title>"))
+        ),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit('<meta name="description" content="about '),
+                     ds, F.lit('">')),
+        ).when(
+            did % 3 == 1,
+            F.concat(F.lit('<meta content="rev about '), ds,
+                     F.lit('" name="description">')),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit('<link rel="canonical" href="https://c.org/'),
+                     ds, F.lit('">')),
+        ).when(
+            did % 4 == 1,
+            F.concat(F.lit('<link href="https://c.org/r/'), ds,
+                     F.lit('" rel="canonical">')),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    return html_metadata(
+        d.select("doc_id", html.alias("html")), key_col="doc_id"
+    )
+
+
 def q_html_profile(spark, sf_dir):
     """Markup-density pre-filter signals (tag/link/script counts,
     text-to-markup basis points) as pure regexp projections. The
@@ -2327,6 +2372,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # `uniqueness`/`extraction` rotated below in wave 8 and
         # `referential`/`referential_large_dim` in wave 9 — each green
         # in BOTH the r02 and r03 driver records) ----
+        # wave-12 `html_meta` sits first BELOW the boundary: every
+        # in-window slot is taken by a query still owed its FIRST
+        # driver record (the 22 round-3 curation queries per the r03
+        # verdict + earlier round-4 waves); html_meta is hash-green in
+        # the local sweep (tools/check_parity.py) and pytested
+        "html_meta": q_html_meta,
         "stats": q_stats,
         "semdedup": q_semdedup,
         "semdedup_containment": q_semdedup_containment,
@@ -4288,6 +4339,21 @@ FROM d JOIN st USING (doc_id)
         "pack_chunks": pack_chunks_sql,
         "keywords": keywords_sql,
         "html_profile": html_profile_sql,
+        # html_meta: closed-form recomputation of every planted field,
+        # incl. the attribute-order variants and NULL-absent fields
+        "html_meta": """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE 'Doc ' || doc_id END AS title,
+       CASE WHEN doc_id % 3 = 0 THEN 'about ' || doc_id
+            WHEN doc_id % 3 = 1 THEN 'rev about ' || doc_id
+       END AS meta_description,
+       CASE WHEN doc_id % 4 = 0 THEN 'https://c.org/' || doc_id
+            WHEN doc_id % 4 = 1 THEN 'https://c.org/r/' || doc_id
+       END AS canonical_url,
+       lang AS html_lang
+FROM documents
+""",
         "unigram_logprob": unigram_logprob_sql,
         "url_features": url_features_sql,
         "gopher_quality": gopher_sql,

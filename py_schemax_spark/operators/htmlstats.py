@@ -74,3 +74,69 @@ def html_profile(
             ),
         ).alias("text_bp"),
     )
+
+
+# metadata extraction patterns — lookaround-free, case-insensitivity
+# via explicit classes (shared verbatim with the SQL oracle);
+# attribute order varies in the wild, so name/content (and
+# rel/href) are tried in BOTH orders and coalesced
+TITLE_RE = r"<[tT][iI][tT][lL][eE][^>]*>([^<]*)"
+META_DESC_NC_RE = (
+    r"""<[mM][eE][tT][aA][^>]*[nN][aA][mM][eE][ \t]*=[ \t]*"""
+    r"""["']description["'][^>]*[cC][oO][nN][tT][eE][nN][tT]"""
+    r"""[ \t]*=[ \t]*["']([^"']*)"""
+)
+META_DESC_CN_RE = (
+    r"""<[mM][eE][tT][aA][^>]*[cC][oO][nN][tT][eE][nN][tT]"""
+    r"""[ \t]*=[ \t]*["']([^"']*)["'][^>]*[nN][aA][mM][eE]"""
+    r"""[ \t]*=[ \t]*["']description["']"""
+)
+CANONICAL_RH_RE = (
+    r"""<[lL][iI][nN][kK][^>]*[rR][eE][lL][ \t]*=[ \t]*"""
+    r"""["']canonical["'][^>]*[hH][rR][eE][fF][ \t]*=[ \t]*"""
+    r"""["']([^"']*)"""
+)
+CANONICAL_HR_RE = (
+    r"""<[lL][iI][nN][kK][^>]*[hH][rR][eE][fF][ \t]*=[ \t]*"""
+    r"""["']([^"']*)["'][^>]*[rR][eE][lL][ \t]*=[ \t]*"""
+    r"""["']canonical["']"""
+)
+HTML_LANG_RE = (
+    r"""<[hH][tT][mM][lL][^>]*[lL][aA][nN][gG][ \t]*=[ \t]*"""
+    r"""["']([^"']*)"""
+)
+
+
+def html_metadata(
+    df: DataFrame,
+    html_col: str = "html",
+    key_col: str = "url",
+) -> DataFrame:
+    """Document metadata from raw markup: ``(key_col, title,
+    meta_description, canonical_url, html_lang)`` — the fields a crawl
+    index keeps per page (dedup joins on ``canonical_url``; lang
+    routing cross-checks ``html_lang`` against the detector).
+
+    Pure codegen'd ``regexp_extract`` projection over the (cast)
+    payload — zero shuffles, fuses into the scan, binary or string
+    input. First match wins (matching lexical-profile semantics: this
+    is a pre-filter, not an HTML parser); absent fields are NULL, not
+    ``''``, so downstream null-rate stats see them."""
+    h = F.col(html_col).cast("string")
+
+    def _first(*pats: str) -> F.Column:
+        out = None
+        for p in pats:
+            x = F.nullif(F.regexp_extract(h, p, 1), F.lit(""))
+            out = x if out is None else F.coalesce(out, x)
+        return out
+
+    return df.select(
+        F.col(key_col),
+        _first(TITLE_RE).alias("title"),
+        _first(META_DESC_NC_RE, META_DESC_CN_RE).alias(
+            "meta_description"
+        ),
+        _first(CANONICAL_RH_RE, CANONICAL_HR_RE).alias("canonical_url"),
+        _first(HTML_LANG_RE).alias("html_lang"),
+    )

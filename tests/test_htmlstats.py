@@ -59,3 +59,45 @@ def test_html_profile_no_int32_overflow_on_large_text(spark):
     df = spark.createDataFrame([("u", page)], "url string, html string")
     r = html_profile(df).first()
     assert r["text_bp"] == (10000 * len(big)) // len(page)
+
+
+def test_html_metadata_extraction(spark):
+    from py_schemax_spark.operators.htmlstats import html_metadata
+
+    rows = [
+        ("a", '<html lang="en"><head><title>T1</title>'
+              '<meta name="description" content="d1">'
+              '<link rel="canonical" href="https://c/1"></head>'),
+        # reversed attribute orders
+        ("b", "<HTML LANG='fr'><head><TITLE>T2</TITLE>"
+              "<meta content='d2' name='description'>"
+              "<link href='https://c/2' rel='canonical'></head>"),
+        # everything absent -> NULLs
+        ("c", "<html><body>no head</body></html>"),
+        ("d", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {r["url"]: r for r in html_metadata(df).collect()}
+    assert (got["a"]["title"], got["a"]["meta_description"],
+            got["a"]["canonical_url"], got["a"]["html_lang"]) == (
+        "T1", "d1", "https://c/1", "en")
+    assert (got["b"]["title"], got["b"]["meta_description"],
+            got["b"]["canonical_url"], got["b"]["html_lang"]) == (
+        "T2", "d2", "https://c/2", "fr")
+    assert all(got["c"][f] is None for f in
+               ("title", "meta_description", "canonical_url", "html_lang"))
+    assert all(got["d"][f] is None for f in
+               ("title", "meta_description", "canonical_url", "html_lang"))
+
+
+def test_html_metadata_binary_input_and_no_shuffle(spark):
+    from py_schemax_spark.operators.htmlstats import html_metadata
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a",)], "url string"
+    ).select("url", F.encode(F.lit("<title>Bin</title>"), "utf-8")
+             .alias("html"))
+    out = html_metadata(df)
+    assert out.collect()[0]["title"] == "Bin"
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
