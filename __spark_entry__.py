@@ -1234,6 +1234,29 @@ def q_html_meta(spark, sf_dir):
     )
 
 
+def q_card_scan(spark, sf_dir):
+    """Card-number PII with Luhn validation: planted candidates are a
+    valid test number (doc_id%4==0), a checksum-broken twin (%4==1 —
+    the regex-only false positive the Luhn fold rejects), and an
+    11-digit string below the candidate floor (%4==2). The oracle
+    INDEPENDENTLY recomputes the Luhn checksum in SQL (list_transform
+    with 1-based index lambda), so the whole fold is cross-engine
+    verified, not just asserted."""
+    from py_schemax_spark.operators.pii import card_scan
+
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit(" card 4539 5787 6362 1486 ok"))
+        .when(F.col("doc_id") % 4 == 1,
+              F.lit(" ref 4539-5787-6362-1487 x"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" acct 79927398713 end"))
+        .otherwise(F.lit("")),
+    )
+    return card_scan(d.select("doc_id", planted.alias("text")))
+
+
 def q_html_profile(spark, sf_dir):
     """Markup-density pre-filter signals (tag/link/script counts,
     text-to-markup basis points) as pure regexp projections. The
@@ -2378,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verdict + earlier round-4 waves); html_meta is hash-green in
         # the local sweep (tools/check_parity.py) and pytested
         "html_meta": q_html_meta,
+        "card_scan": q_card_scan,
         "stats": q_stats,
         "semdedup": q_semdedup,
         "semdedup_containment": q_semdedup_containment,
@@ -4341,6 +4365,38 @@ FROM d JOIN st USING (doc_id)
         "html_profile": html_profile_sql,
         # html_meta: closed-form recomputation of every planted field,
         # incl. the attribute-order variants and NULL-absent fields
+        "card_scan": r"""
+WITH planted AS (
+  SELECT doc_id,
+    text || CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN ' card 4539 5787 6362 1486 ok'
+      WHEN 1 THEN ' ref 4539-5787-6362-1487 x'
+      WHEN 2 THEN ' acct 79927398713 end'
+      ELSE '' END AS text
+  FROM documents
+),
+c AS (
+  SELECT doc_id, regexp_extract_all(text, '\b\d[\d -]{11,21}\d\b') AS cands
+  FROM planted
+)
+SELECT doc_id,
+  CAST(len(cands) AS INT) AS n_candidates,
+  -- independent Luhn recomputation (1-based lambda index: DuckDB's
+  -- even i = the engine's odd 0-based reverse position)
+  CAST(len(list_filter(cands, cnd ->
+    length(regexp_replace(cnd, '[^0-9]', '', 'g')) BETWEEN 13 AND 19
+    AND list_aggregate(
+      list_transform(
+        list_reverse(regexp_extract_all(
+          regexp_replace(cnd, '[^0-9]', '', 'g'), '\d')),
+        (d, i) -> CASE WHEN i % 2 = 0
+          THEN CASE WHEN CAST(d AS INT)*2 > 9 THEN CAST(d AS INT)*2 - 9
+               ELSE CAST(d AS INT)*2 END
+          ELSE CAST(d AS INT) END
+      ), 'sum') % 10 = 0
+  )) AS INT) AS n_valid_cards
+FROM c
+""",
         "html_meta": """
 SELECT doc_id,
        CASE WHEN doc_id % 5 = 4 THEN NULL

@@ -1263,3 +1263,39 @@ def test_remove_boilerplate_matches_python_reference(spark):
             for r in remove_boilerplate(df, min_docs=min_docs).collect()
         }
         assert got == exp, f"trial={trial} min_docs={min_docs}"
+
+
+def test_luhn_valid_verdicts(spark):
+    from pyspark.sql import functions as F
+
+    from py_schemax_spark.operators.pii import luhn_valid
+
+    rows = [
+        ("4539578763621486", True),    # valid test number
+        ("4539 5787 6362 1486", True),  # separators stripped
+        ("4539578763621487", False),   # bad check digit
+        ("79927398713", None),         # 11 digits: below floor
+        ("12345678901234567890", None),  # 20 digits: above ceiling
+        ("no digits", None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "s string")
+    got = [r["v"] for r in
+           df.select(luhn_valid(F.col("s")).alias("v")).collect()]
+    assert got == [e for _, e in rows]
+
+
+def test_card_scan_counts_and_plan(spark):
+    from py_schemax_spark.operators.pii import card_scan
+
+    docs = spark.createDataFrame(
+        [(0, "two: 4539 5787 6362 1486 and 4716108999716531 ok"),
+         (1, "fake 1234 5678 9012 3456"),
+         (2, None)],
+        "doc_id long, text string",
+    )
+    out = card_scan(docs)
+    got = {r["doc_id"]: (r["n_candidates"], r["n_valid_cards"])
+           for r in out.collect()}
+    assert got[0] == (2, 2) and got[1] == (1, 0) and got[2] == (0, 0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
