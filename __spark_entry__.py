@@ -1234,6 +1234,28 @@ def q_html_meta(spark, sf_dir):
     )
 
 
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index build over the corpus vocabulary: the synthetic
+    vocab's terms all have df 380-410 (truncation at max_postings=50
+    exercised on every one), and planted rare tokens (doc_id%100==0
+    gets ' zxqj'||doc_id%3) add df=2 terms (kept, NOT truncated) and
+    a df=1 term (excluded by min_df=2). Oracle rebuilds the whole
+    index in SQL: distinct pairs, df gate BEFORE postings, sorted
+    slice."""
+    from py_schemax_spark.operators.index import build_inverted_index
+
+    d = _docs(spark, sf_dir)
+    planted = F.when(
+        F.col("doc_id") % 100 == 0,
+        F.concat(F.col("text"), F.lit(" zxqj"),
+                 (F.col("doc_id") % 3).cast("string")),
+    ).otherwise(F.col("text"))
+    return build_inverted_index(
+        d.select("doc_id", planted.alias("text")),
+        min_df=2, max_df=495, max_postings=50,
+    )
+
+
 def q_card_scan(spark, sf_dir):
     """Card-number PII with Luhn validation: planted candidates are a
     valid test number (doc_id%4==0), a checksum-broken twin (%4==1 —
@@ -2402,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the local sweep (tools/check_parity.py) and pytested
         "html_meta": q_html_meta,
         "card_scan": q_card_scan,
+        "inverted_index": q_inverted_index,
         "stats": q_stats,
         "semdedup": q_semdedup,
         "semdedup_containment": q_semdedup_containment,
@@ -4365,6 +4388,29 @@ FROM d JOIN st USING (doc_id)
         "html_profile": html_profile_sql,
         # html_meta: closed-form recomputation of every planted field,
         # incl. the attribute-order variants and NULL-absent fields
+        "inverted_index": r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 100 = 0
+              THEN text || ' zxqj' || CAST(doc_id % 3 AS INT)
+              ELSE text END AS text
+  FROM documents
+),
+pairs AS (
+  SELECT DISTINCT d.doc_id AS doc, t.term
+  FROM planted d,
+  LATERAL unnest(string_split_regex(lower(d.text), '[ \t\n\r\f]+'))
+    AS t(term)
+  WHERE d.text IS NOT NULL AND t.term != ''
+),
+freq AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
+surv AS (SELECT term, df FROM freq WHERE df >= 2 AND df <= 495)
+SELECT s.term, CAST(s.df AS BIGINT) AS df,
+       (list_sort(list(p.doc)))[1:50] AS postings,
+       s.df > 50 AS truncated
+FROM surv s JOIN pairs p USING (term)
+GROUP BY s.term, s.df
+""",
         "card_scan": r"""
 WITH planted AS (
   SELECT doc_id,

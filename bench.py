@@ -437,7 +437,7 @@ def main() -> None:
         "benford", "dup_rate", "canonical_dedup", "row_diff",
         "text_classifier", "classifier_eval", "domain_graph", "pagerank",
         "robots", "domain_blocklist", "audio_meta", "ann_pq",
-        "ann_ivfpq", "html_meta", "card_scan",
+        "ann_ivfpq", "html_meta", "card_scan", "inverted_index",
     ]
     queries = entrymod.queries()
     from py_schemax_spark.operators.dedup import (
