@@ -1234,6 +1234,37 @@ def q_html_meta(spark, sf_dir):
     )
 
 
+def q_anchors(spark, sf_dir):
+    """Anchor-text edge extraction from planted markup: every doc
+    links its hub (dst https://t<doc_id%7>.org/a with labeled anchor
+    text), doc_id%3==0 adds an attribute-bearing deep link,
+    doc_id%4==1 adds a RELATIVE link (dropped by absolute_only) and
+    doc_id%5==2 an href-less named anchor (dropped). Oracle
+    enumerates the surviving triples in closed form."""
+    from py_schemax_spark.operators.linkgraph import extract_anchors
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    hub = (did % 7).cast("string")
+    html = F.concat(
+        F.lit('<p>x</p><a href="https://t'), hub,
+        F.lit('.org/a">go to '), hub, F.lit(" </a>"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit('<a class="x" href="https://u.org/'), ds,
+                     F.lit('">deep link</a>')),
+        ).otherwise(F.lit("")),
+        F.when(did % 4 == 1,
+               F.lit('<a href="/rel">rel</a>')).otherwise(F.lit("")),
+        F.when(did % 5 == 2,
+               F.lit('<a name="anchor">no href</a>')).otherwise(F.lit("")),
+    )
+    return extract_anchors(
+        d.select("doc_id", html.alias("html")), url_col="doc_id"
+    ).withColumnRenamed("src_url", "doc_id")
+
+
 def q_inverted_index(spark, sf_dir):
     """Inverted-index build over the corpus vocabulary: the synthetic
     vocab's terms all have df 380-410 (truncation at max_postings=50
@@ -2425,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_meta": q_html_meta,
         "card_scan": q_card_scan,
         "inverted_index": q_inverted_index,
+        "anchors": q_anchors,
         "stats": q_stats,
         "semdedup": q_semdedup,
         "semdedup_containment": q_semdedup_containment,
@@ -4388,6 +4420,16 @@ FROM d JOIN st USING (doc_id)
         "html_profile": html_profile_sql,
         # html_meta: closed-form recomputation of every planted field,
         # incl. the attribute-order variants and NULL-absent fields
+        "anchors": r"""
+SELECT doc_id,
+       'https://t' || CAST(doc_id % 7 AS INT) || '.org/a' AS dst_url,
+       'go to ' || CAST(doc_id % 7 AS INT) AS anchor
+FROM documents
+UNION ALL
+SELECT doc_id, 'https://u.org/' || doc_id AS dst_url,
+       'deep link' AS anchor
+FROM documents WHERE doc_id % 3 = 0
+""",
         "inverted_index": r"""
 WITH planted AS (
   SELECT doc_id,

@@ -254,3 +254,47 @@ def pagerank(
         ranks.select("node", "rank"),
         [ewd, nodes, _CheckpointHandle(sc, prev_ids)],
     )
+
+
+# anchor snippet: the tag (attrs contain no '>') plus the immediate
+# text run after it — lookaround-free, RE2-compatible
+_ANCHOR_SNIPPET_RE = r"<[aA][ \t\n\r\f][^>]*>[^<]*"
+_ANCHOR_TEXT_RE = r">([^<]*)"
+
+
+def extract_anchors(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    absolute_only: bool = True,
+) -> DataFrame:
+    """(src_url, dst_url, anchor) triples — the anchor-TEXT edge list.
+
+    Anchor text is the web's human-written label for the target page
+    (classic training signal: anchor-text corpora for retrieval /
+    query generation; TrustRank-style link spam screens look at
+    anchor/target mismatch). Two-step lexical extract, zero
+    exchanges: snippets (``<a ...>text-run``) come out in ONE
+    codegen'd ``regexp_extract_all``; href and the post-tag text run
+    are then plain per-row ``regexp_extract`` projections over the
+    exploded snippet — the snippet array is materialized as a real
+    column first (SURVEY §7: HOFs/explode over computed children
+    re-evaluate per element). href-less anchors (``<a name=...>``)
+    drop; ``absolute_only`` mirrors ``extract_outlinks``; anchor text
+    is whitespace-trimmed, '' when the element body is empty or
+    elementful (``<a><img/></a>`` yields '' — lexical semantics, not
+    a DOM parse, same contract as ``html_profile``)."""
+    snippets = F.regexp_extract_all(
+        F.col(html_col).cast("string"), F.lit(_ANCHOR_SNIPPET_RE), F.lit(0)
+    )
+    pairs = df.select(
+        F.col(url_col).alias("src_url"), snippets.alias("_snips")
+    ).select("src_url", F.explode("_snips").alias("_s"))
+    out = pairs.select(
+        "src_url",
+        F.regexp_extract("_s", _HREF_RE, 1).alias("dst_url"),
+        F.trim(F.regexp_extract("_s", _ANCHOR_TEXT_RE, 1)).alias("anchor"),
+    ).filter(F.col("dst_url") != "")
+    if absolute_only:
+        out = out.filter(F.col("dst_url").rlike(r"^https?://"))
+    return out

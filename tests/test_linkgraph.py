@@ -185,3 +185,45 @@ class TestPagerank:
         assert nodes == {1, 2}
         with pytest.raises(ValueError):
             pagerank(df, iters=0)
+
+
+def test_extract_anchors_triples(spark):
+    from py_schemax_spark.operators.linkgraph import extract_anchors
+
+    html = (
+        '<a href="https://a.org/1">First Link</a>'
+        '<a class="nav" href="https://b.org/2"> spaced  </a>'
+        '<a href="/relative">rel</a>'
+        '<a name="x">no href</a>'
+        '<a href="https://c.org/3"><img src="i.png"/></a>'
+    )
+    df = spark.createDataFrame([("u", html)], "url string, html string")
+    got = {
+        (r["dst_url"], r["anchor"])
+        for r in extract_anchors(df).collect()
+    }
+    assert got == {
+        ("https://a.org/1", "First Link"),
+        ("https://b.org/2", "spaced"),
+        ("https://c.org/3", ""),  # elementful body -> lexical ''
+    }
+    rel = extract_anchors(df, absolute_only=False).collect()
+    assert ("/relative", "rel") in {
+        (r["dst_url"], r["anchor"]) for r in rel
+    }
+
+
+def test_extract_anchors_zero_exchanges_and_binary(spark):
+    from pyspark.sql import functions as F
+
+    from py_schemax_spark.operators.linkgraph import extract_anchors
+
+    df = spark.createDataFrame([("u",)], "url string").select(
+        "url",
+        F.encode(F.lit('<a href="https://x.org">B</a>'), "utf-8")
+        .alias("html"),
+    )
+    out = extract_anchors(df)
+    assert out.collect()[0]["anchor"] == "B"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
