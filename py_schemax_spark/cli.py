@@ -99,8 +99,8 @@ def build_parser() -> argparse.ArgumentParser:
     cu = sub.add_parser(
         "curate",
         help="run the web-corpus curation pipeline over a parquet table "
-             "(robots -> blocklist -> normalize -> quality -> line dedup "
-             "-> exact dedup -> near dedup -> mix)",
+             "(robots -> blocklist -> normalize -> redact -> quality -> "
+             "line dedup -> exact dedup -> near dedup -> mix)",
     )
     cu.add_argument("table", help="input table (parquet path / warc: URI)")
     cu.add_argument("--out", required=True, metavar="DIR",

@@ -42,6 +42,7 @@ STAGES = (
     "robots",
     "blocklist",
     "normalize",
+    "redact",
     "quality",
     "lines",
     "exact_dedup",
@@ -199,6 +200,19 @@ def run_curation(
             normalize_text(cur, text_col=t, key_col=k, passthrough=True)
             .withColumn(t, F.col("norm_text"))
             .select(*in_cols),
+        )
+
+    if "redact" in steps:
+        from py_schemax_spark.operators.pii import redact_pii
+
+        # PII redaction rewrites text in place (like normalize): runs
+        # AFTER normalize (canonical text -> stable regex hits) and
+        # BEFORE quality/dedup so downstream signals and shingles see
+        # the redacted bytes, never the PII. Pure projection, rides
+        # the same scan stage.
+        cur = _record(
+            "redact",
+            cur.withColumn(t, redact_pii(F.col(t))),
         )
 
     if "quality" in steps:

@@ -190,3 +190,23 @@ def test_curation_robots_stage_strict_when_explicit(spark):
     )
     with _pytest.raises(ValueError, match="robots"):
         run_curation(docs, CurationConfig(url_col="url", steps=("robots",)))
+
+
+def test_curation_redact_stage_rewrites_text_in_place(spark):
+    from pyspark.sql import functions as F
+
+    from py_schemax_spark.curate import CurationConfig, run_curation
+
+    docs = spark.createDataFrame(
+        [(0, "mail me at bob@example.com or 10.0.0.1", "en"),
+         (1, "clean text here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out, rep = run_curation(
+        docs, CurationConfig(steps=("redact", "exact_dedup"))
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got[0] == "mail me at <EMAIL> or <IP>"
+    assert got[1] == "clean text here"
+    assert rep["stages"]["redact"] == {"in": 2, "out": 2}
+    assert set(out.columns) == {"doc_id", "text", "lang"}
