@@ -1234,6 +1234,33 @@ def q_html_meta(spark, sf_dir):
     )
 
 
+def q_lang_agreement(spark, sf_dir):
+    """Declared-vs-detected language conformance — the validation
+    cross-check a crawl table needs on its `lang` column: per
+    declared lang, how often the n-gram detector agrees, in exact
+    integer basis points. Reuses the oracled lang_id detector; the
+    SQL oracle nests the full lang_id recomputation as a CTE and
+    re-aggregates."""
+    d = _docs(spark, sf_dir)
+    match = F.coalesce(
+        (lang_id(F.col("text")) == F.col("lang")).cast("long"), F.lit(0)
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(match).alias("n_match"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_match").cast("bigint").alias("n_match"),
+            F.expr("n_match * 10000 div n_docs").cast("bigint")
+            .alias("match_bp"),
+        )
+    )
+
+
 def q_anchors(spark, sf_dir):
     """Anchor-text edge extraction from planted markup: every doc
     links its hub (dst https://t<doc_id%7>.org/a with labeled anchor
@@ -2457,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "card_scan": q_card_scan,
         "inverted_index": q_inverted_index,
         "anchors": q_anchors,
+        "lang_agreement": q_lang_agreement,
         "stats": q_stats,
         "semdedup": q_semdedup,
         "semdedup_containment": q_semdedup_containment,
@@ -4405,6 +4433,17 @@ FROM d JOIN st USING (doc_id)
         "ann_pq_exact": ann_topk_sql,
         "ann_ivfpq_exact": ann_topk_sql,
         "lang_id": lang_id_sql,
+        # declared-vs-detected conformance: nests the full lang_id
+        # oracle and re-aggregates (`//` = the engine's `div`)
+        "lang_agreement": (
+            "WITH li AS (" + lang_id_sql + ") "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_match, "
+            "CAST((sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) "
+            "* 10000) // count(*) AS BIGINT) AS match_bp "
+            "FROM li GROUP BY lang"
+        ),
         "repetition_profile": repetition_sql,
         "pii_scan": pii_sql,
         "dedup_clusters": dedup_clusters_sql,
