@@ -1337,6 +1337,35 @@ def q_card_scan(spark, sf_dir):
     return card_scan(d.select("doc_id", planted.alias("text")))
 
 
+def q_dsir(spark, sf_dir):
+    """DSIR importance weighting (Xie et al. 2023) of the corpus
+    toward a deterministic target subset (doc_id%7==0): hashed
+    unigram+bigram models on both sides, integer fixed-point
+    per-bucket log-ratios (floor at 1e-6 — float ln confined to the
+    1024-entry ratio table, identical expression order in Python and
+    DuckDB), engine-exact integer document scores. ``keep`` is the
+    `dsir_select` length-normalized threshold decision rendered as a
+    column (integer cross-multiplication, no float on the boundary).
+    """
+    from py_schemax_spark.operators.dsir import dsir_weights
+
+    d = _docs(spark, sf_dir)
+    target = d.filter((F.col("doc_id") % 7 == 0)
+                      & F.col("text").isNotNull())
+    w = dsir_weights(
+        d, target, n_buckets=1024, word_ngrams=2
+    )
+    s, n = F.col("dsir_score"), F.col("n_terms")
+    return w.select(
+        "doc_id", "n_terms", "dsir_score",
+        F.when(
+            s.isNull() | n.isNull(), F.lit(None).cast("boolean")
+        ).otherwise(
+            (n > 0) & (s * 1000 >= F.lit(-50) * n)
+        ).alias("keep"),
+    )
+
+
 def q_html_profile(spark, sf_dir):
     """Markup-density pre-filter signals (tag/link/script counts,
     text-to-markup basis points) as pure regexp projections. The
@@ -2480,6 +2509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver record (the 22 round-3 curation queries per the r03
         # verdict + earlier round-4 waves); html_meta is hash-green in
         # the local sweep (tools/check_parity.py) and pytested
+        # wave-13 queries sit below the boundary for the same reason
+        "dsir": q_dsir,
         "html_meta": q_html_meta,
         "card_scan": q_card_scan,
         "inverted_index": q_inverted_index,
@@ -4188,6 +4219,69 @@ lab AS (
 SELECT doc_id, n_terms, score, label FROM lab
 """
 
+    # DSIR: the classifier term universe at n_buckets=1024, target =
+    # doc_id%7==0; lam reproduces operators/dsir._fit_log_ratios
+    # EXPRESSION-FOR-EXPRESSION (same ln association order, same
+    # floor, same 1e6 scale) — everything after the floor is integer
+    dsir_sql = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+terms AS (
+  SELECT doc_id,
+         unnest(list_concat(
+           toks,
+           [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+         )) AS term
+  FROM t
+),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(term), 1, 8))::UBIGINT % 1024
+              AS BIGINT) AS bucket
+  FROM terms
+),
+rawh AS (SELECT bucket, COUNT(*) AS cnt FROM b GROUP BY bucket),
+tgth AS (SELECT bucket, COUNT(*) AS cnt FROM b
+         WHERE doc_id % 7 = 0 GROUP BY bucket),
+tot AS (
+  SELECT (SELECT COALESCE(SUM(cnt), 0) FROM rawh) AS tr,
+         (SELECT COALESCE(SUM(cnt), 0) FROM tgth) AS tt
+),
+lam AS (
+  SELECT g.range AS bucket,
+         CAST(floor((ln(COALESCE(tg.cnt, 0) + 1) - ln(tt + 1024)
+                     - ln(COALESCE(r.cnt, 0) + 1) + ln(tr + 1024))
+                    * 1000000) AS BIGINT) AS lam
+  FROM range(1024) g
+  CROSS JOIN tot
+  LEFT JOIN rawh r ON r.bucket = g.range
+  LEFT JOIN tgth tg ON tg.bucket = g.range
+),
+s AS (
+  SELECT b.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(l.lam) AS BIGINT) AS score
+  FROM b JOIN lam l USING (bucket) GROUP BY b.doc_id
+),
+w AS (
+  SELECT d.doc_id,
+         CASE WHEN d.text IS NULL THEN NULL
+              ELSE coalesce(s.n_terms, 0) END AS n_terms,
+         CASE WHEN d.text IS NULL THEN NULL
+              ELSE coalesce(s.score, 0) END AS dsir_score
+  FROM documents d LEFT JOIN s USING (doc_id)
+)
+SELECT doc_id, n_terms, dsir_score,
+       CASE WHEN dsir_score IS NULL OR n_terms IS NULL THEN NULL
+            ELSE n_terms > 0 AND dsir_score * 1000 >= -50 * n_terms
+       END AS keep
+FROM w
+"""
+
     classifier_eval_sql = classifier_cte + """
 , j AS (
   SELECT label AS pred,
@@ -4321,6 +4415,7 @@ SELECT node, rank FROM i3
         "pagerank": pagerank_sql,
         "text_classifier": text_classifier_sql,
         "classifier_eval": classifier_eval_sql,
+        "dsir": dsir_sql,
         "benford": benford_sql,
         "dup_rate": dup_rate_sql,
         "canonical_dedup": canonical_dedup_sql,
