@@ -1366,6 +1366,45 @@ def q_dsir(spark, sf_dir):
     )
 
 
+def q_main_content(spark, sf_dir):
+    """jusText-style main-content extraction over planted messy pages:
+    nav/footer link blocks (density-dropped), a script element
+    (content-stripped), a short block (length-dropped), one or two
+    content paragraphs (doc_id%3 adds the second, carrying an
+    ``&amp;`` entity), and null html for doc_id%11==5. Binary payload
+    exercises the decode path. The oracle states main_text / block
+    counts in CLOSED FORM from the planting formulas — a bug anywhere
+    in strip/split/score/join breaks the hash."""
+    from py_schemax_spark.operators.extract import extract_main_content
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    html = F.concat(
+        F.lit('<html><body><div><a href="/a">Home</a> '
+              '<a href="/b">About</a></div><script>var x=9;</script>'
+              '<p>alpha bravo charlie delta echo foxtrot golf hotel '
+              'india juliet kilo '),
+        ds,
+        F.lit("</p><p>tiny</p>"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("<p>lima mike november oscar papa quebec romeo "
+                      "sierra tango &amp; uniform "),
+                ds, F.lit("</p>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<div><a href="/c">Contact</a></div></body></html>'),
+    )
+    payload = F.when(
+        did % 11 == 5, F.lit(None).cast("binary")
+    ).otherwise(F.encode(html, "UTF-8"))
+    return extract_main_content(
+        d.select("doc_id", payload.alias("html")), key_col="doc_id"
+    )
+
+
 def q_html_profile(spark, sf_dir):
     """Markup-density pre-filter signals (tag/link/script counts,
     text-to-markup basis points) as pure regexp projections. The
@@ -2511,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the local sweep (tools/check_parity.py) and pytested
         # wave-13 queries sit below the boundary for the same reason
         "dsir": q_dsir,
+        "main_content": q_main_content,
         "html_meta": q_html_meta,
         "card_scan": q_card_scan,
         "inverted_index": q_inverted_index,
@@ -4416,6 +4456,34 @@ SELECT node, rank FROM i3
         "text_classifier": text_classifier_sql,
         "classifier_eval": classifier_eval_sql,
         "dsir": dsir_sql,
+        # closed-form twin of q_main_content's planted page structure
+        "main_content": """
+WITH e AS (
+  SELECT doc_id,
+         doc_id % 11 = 5 AS is_null,
+         'alpha bravo charlie delta echo foxtrot golf hotel india '
+           || 'juliet kilo ' || CAST(doc_id AS VARCHAR) AS b1,
+         'lima mike november oscar papa quebec romeo sierra tango '
+           || '& uniform ' || CAST(doc_id AS VARCHAR) AS b2
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN is_null THEN NULL
+              WHEN doc_id % 3 = 0 THEN b1 || chr(10) || b2
+              ELSE b1 END AS main_text,
+         CASE WHEN is_null THEN NULL
+              WHEN doc_id % 3 = 0 THEN 5 ELSE 4 END AS n_blocks,
+         CASE WHEN is_null THEN NULL
+              WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS n_kept
+  FROM e
+)
+SELECT doc_id, main_text,
+       CAST(n_blocks AS BIGINT) AS n_blocks,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(length(main_text) AS BIGINT) AS n_chars
+FROM m
+""",
         "benford": benford_sql,
         "dup_rate": dup_rate_sql,
         "canonical_dedup": canonical_dedup_sql,

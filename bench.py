@@ -438,7 +438,7 @@ def main() -> None:
         "text_classifier", "classifier_eval", "domain_graph", "pagerank",
         "robots", "domain_blocklist", "audio_meta", "ann_pq",
         "ann_ivfpq", "html_meta", "card_scan", "inverted_index",
-        "anchors", "lang_agreement", "dsir",
+        "anchors", "lang_agreement", "dsir", "main_content",
     ]
     queries = entrymod.queries()
     from py_schemax_spark.operators.dedup import (
