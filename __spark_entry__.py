@@ -1405,6 +1405,28 @@ def q_main_content(spark, sf_dir):
     )
 
 
+def q_shard_plan(spark, sf_dir):
+    """Deterministic training-shard plan over the corpus: sizes are
+    whitespace token counts (null text → 0), global order is
+    ``(md5(doc_id), doc_id)``, shards budgeted at 40k tokens. The
+    oracle is ONE SQL window in the same order — the engine's
+    two-level prefix sum must be boundary-invariant to match it."""
+    from py_schemax_spark.sources.shards import plan_shards
+
+    d = _docs(spark, sf_dir)
+    sized = d.select(
+        "doc_id",
+        F.coalesce(
+            F.regexp_count(F.col("text"), F.lit(r"[^ \t\n\r\f]+")),
+            F.lit(0),
+        ).cast("long").alias("n_units"),
+    )
+    return plan_shards(
+        sized, key_col="doc_id", size_col="n_units",
+        max_units_per_shard=40_000,
+    )
+
+
 def q_html_profile(spark, sf_dir):
     """Markup-density pre-filter signals (tag/link/script counts,
     text-to-markup basis points) as pure regexp projections. The
@@ -2551,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave-13 queries sit below the boundary for the same reason
         "dsir": q_dsir,
         "main_content": q_main_content,
+        "shard_plan": q_shard_plan,
         "html_meta": q_html_meta,
         "card_scan": q_card_scan,
         "inverted_index": q_inverted_index,
@@ -4456,6 +4479,26 @@ SELECT node, rank FROM i3
         "text_classifier": text_classifier_sql,
         "classifier_eval": classifier_eval_sql,
         "dsir": dsir_sql,
+        # one-window twin of the engine's two-level shard prefix sum
+        "shard_plan": r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(COALESCE(len(regexp_extract_all(text,
+                '[^ \t\n\r\f]+')), 0) AS BIGINT) AS n_units
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_units,
+         CAST(COALESCE(SUM(n_units) OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS "offset"
+  FROM s
+)
+SELECT doc_id, n_units, "offset",
+       CAST("offset" // 40000 AS BIGINT) AS shard_id
+FROM c
+""",
         # closed-form twin of q_main_content's planted page structure
         "main_content": """
 WITH e AS (
