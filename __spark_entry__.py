@@ -1427,6 +1427,44 @@ def q_shard_plan(spark, sf_dir):
     )
 
 
+def q_sitemap(spark, sf_dir):
+    """Sitemap-protocol parsing over planted payloads: urlset docs
+    carry an entity-escaped loc + lastmod, a whitespace-padded loc
+    (trim exercised) and a loc-less entry (dropped); doc_id%5==0 is a
+    sitemapindex (uppercase second element exercises case folding);
+    doc_id%11==7 is a null payload (no rows). Oracle enumerates the
+    surviving entries in closed form."""
+    from py_schemax_spark.operators.robots import parse_sitemaps
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    hs = (did % 20).cast("string")
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>https://h'),
+        hs, F.lit(".org/p/"), ds, F.lit("?a=1&amp;b="), ds,
+        F.lit("</loc><lastmod>2024-03-0"),
+        (did % 9 + 1).cast("string"),
+        F.lit("</lastmod></url><url><loc> https://h"),
+        hs, F.lit(".org/q/"), ds,
+        F.lit(" </loc></url><url><lastmod>2024-01-01</lastmod></url>"
+              "</urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://h"),
+        hs, F.lit(".org/sm"), ds, F.lit("a.xml"),
+        F.lit("</loc></sitemap><SITEMAP><loc>https://h"),
+        hs, F.lit(".org/sm"), ds, F.lit("b.xml"),
+        F.lit("</loc></SITEMAP></sitemapindex>"),
+    )
+    xml = F.when(did % 11 == 7, F.lit(None).cast("string")).otherwise(
+        F.when(did % 5 == 0, index).otherwise(urlset)
+    )
+    return parse_sitemaps(
+        d.select("doc_id", xml.alias("xml")), key_col="doc_id"
+    )
+
+
 def q_html_profile(spark, sf_dir):
     """Markup-density pre-filter signals (tag/link/script counts,
     text-to-markup basis points) as pure regexp projections. The
@@ -2574,6 +2612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "main_content": q_main_content,
         "shard_plan": q_shard_plan,
+        "sitemap": q_sitemap,
         "html_meta": q_html_meta,
         "card_scan": q_card_scan,
         "inverted_index": q_inverted_index,
@@ -4479,6 +4518,39 @@ SELECT node, rank FROM i3
         "text_classifier": text_classifier_sql,
         "classifier_eval": classifier_eval_sql,
         "dsir": dsir_sql,
+        # closed-form twin of q_sitemap's planted payload structure
+        "sitemap": """
+WITH d AS (
+  SELECT doc_id FROM documents WHERE doc_id % 11 <> 7
+),
+u AS (
+  SELECT doc_id, 'urlset' AS kind,
+         'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.org/p/'
+           || CAST(doc_id AS VARCHAR) || '?a=1&b='
+           || CAST(doc_id AS VARCHAR) AS loc,
+         '2024-03-0' || CAST(doc_id % 9 + 1 AS VARCHAR) AS lastmod
+  FROM d WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id, 'urlset',
+         'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.org/q/'
+           || CAST(doc_id AS VARCHAR),
+         NULL
+  FROM d WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id, 'sitemapindex',
+         'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.org/sm'
+           || CAST(doc_id AS VARCHAR) || 'a.xml',
+         NULL
+  FROM d WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 'sitemapindex',
+         'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.org/sm'
+           || CAST(doc_id AS VARCHAR) || 'b.xml',
+         NULL
+  FROM d WHERE doc_id % 5 = 0
+)
+SELECT doc_id, kind, loc, lastmod FROM u
+""",
         # one-window twin of the engine's two-level shard prefix sum
         "shard_plan": r"""
 WITH s AS (

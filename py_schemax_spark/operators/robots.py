@@ -235,3 +235,84 @@ def apply_robots(
             ),
         ).alias("rule"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sitemaps (the discovery half of the crawl-frontier toolkit)
+
+_SM_BLOCK_RE = r"(?is)<(url|sitemap)\s*>(.*?)</\1\s*>"
+_SM_LOC_RE = r"(?is)<loc\s*>\s*(.*?)\s*</loc\s*>"
+_SM_LASTMOD_RE = r"(?is)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>"
+
+
+def parse_sitemaps(
+    df: DataFrame,
+    xml_col: str = "xml",
+    key_col: str = "host",
+) -> DataFrame:
+    """Sitemap-protocol parsing (sitemaps.org XML): one row per
+    ``<url>``/``<sitemap>`` entry — ``(key, kind, loc, lastmod)``.
+
+    ``kind`` is ``urlset`` for page entries and ``sitemapindex`` for
+    nested-sitemap entries (the <url>/<sitemap> element itself is the
+    discriminator, so a file mixing both — invalid but seen in the
+    wild — still parses per entry). ``loc`` gets the minimal XML
+    entity unescape (``&lt; &gt; &quot; &apos; &amp;``, amp LAST —
+    URLs with query strings are routinely ``&amp;``-escaped);
+    ``lastmod`` is NULL when absent, kept as its raw string (W3C
+    datetime validation belongs to `datetime conformance`, not the
+    parser). Entries without a ``<loc>`` are dropped (nothing to
+    fetch). Null/entry-less payloads contribute no rows.
+
+    Scale shape: pure codegen — the entry array is MATERIALIZED before
+    the per-entry lambdas (SURVEY §7), then one ``explode``; no
+    Python, no exchanges on the sitemap table beyond the explode
+    projection itself (plan-asserted in tests). Sitemap tables are
+    domain-granular — millions of rows at web scale, never
+    corpus-scale.
+    """
+    raw = F.col(xml_col)
+    if "binary" in df.schema[xml_col].dataType.simpleString():
+        raw = F.decode(raw, "UTF-8")
+    blocks = F.regexp_extract_all(raw, F.lit(_SM_BLOCK_RE), 0)
+    with_blocks = df.select(
+        F.col(key_col), blocks.alias("_entries")
+    )
+    loc = lambda x: F.regexp_extract(x, _SM_LOC_RE, 1)  # noqa: E731
+
+    def _unescape(c):
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&apos;", "'"), ("&amp;", "&")):
+            c = F.replace(c, F.lit(ent), F.lit(ch))
+        return c
+
+    parsed = with_blocks.select(
+        key_col,
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.col("_entries"),
+                    lambda x: F.struct(
+                        F.when(
+                            F.lower(F.regexp_extract(
+                                x, r"(?is)^<(url|sitemap)", 1
+                            )) == "url",
+                            F.lit("urlset"),
+                        ).otherwise(F.lit("sitemapindex")).alias("kind"),
+                        _unescape(loc(x)).alias("loc"),
+                        F.nullif(
+                            F.regexp_extract(x, _SM_LASTMOD_RE, 1),
+                            F.lit(""),
+                        ).alias("lastmod"),
+                    ),
+                ),
+                lambda e: e["loc"] != "",
+            )
+        ).alias("_e"),
+    )
+    return parsed.select(
+        key_col,
+        F.col("_e.kind").alias("kind"),
+        F.col("_e.loc").alias("loc"),
+        F.col("_e.lastmod").alias("lastmod"),
+    )

@@ -228,3 +228,75 @@ def test_apply_robots_passthrough_collision_raises(spark):
 
     with _pytest.raises(ValueError):
         apply_robots(docs, rules, passthrough=True)
+
+
+# ---------------------------------------------------------------------------
+# Sitemap parsing
+
+
+def _sm(spark, rows, schema="host string, xml string"):
+    from py_schemax_spark.operators.robots import parse_sitemaps
+
+    df = spark.createDataFrame(rows, schema)
+    return sorted(
+        (r["host"], r["kind"], r["loc"], r["lastmod"])
+        for r in parse_sitemaps(df).collect()
+    )
+
+
+def test_sitemap_urlset_entries(spark):
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://a.org/p?x=1&amp;y=2</loc>"
+        "<lastmod>2024-01-02</lastmod></url>"
+        "<url><loc> https://a.org/q </loc></url>"
+        "<url><lastmod>2024-01-01</lastmod></url></urlset>"
+    )
+    assert _sm(spark, [("a.org", xml)]) == [
+        ("a.org", "urlset", "https://a.org/p?x=1&y=2", "2024-01-02"),
+        ("a.org", "urlset", "https://a.org/q", None),
+    ]
+
+
+def test_sitemap_index_and_case(spark):
+    xml = (
+        "<sitemapindex><sitemap><loc>https://b.org/sm1.xml</loc>"
+        "</sitemap><SITEMAP><loc>https://b.org/sm2.xml</loc>"
+        "</SITEMAP></sitemapindex>"
+    )
+    assert _sm(spark, [("b.org", xml)]) == [
+        ("b.org", "sitemapindex", "https://b.org/sm1.xml", None),
+        ("b.org", "sitemapindex", "https://b.org/sm2.xml", None),
+    ]
+
+
+def test_sitemap_null_and_garbage_payloads(spark):
+    assert _sm(spark, [("c.org", None), ("d.org", "not xml")]) == []
+
+
+def test_sitemap_entity_unescape_order(spark):
+    xml = ("<urlset><url><loc>https://e.org/?q=&quot;a&quot;"
+           "&amp;lt;</loc></url></urlset>")
+    # &amp;lt; -> &lt; (amp unescaped LAST, no double-unescape)
+    assert _sm(spark, [("e.org", xml)]) == [
+        ("e.org", "urlset", 'https://e.org/?q="a"&lt;', None),
+    ]
+
+
+def test_sitemap_binary_payload(spark):
+    xml = b"<urlset><url><loc>https://f.org/x</loc></url></urlset>"
+    got = _sm(spark, [("f.org", xml)], "host string, xml binary")
+    assert got == [("f.org", "urlset", "https://f.org/x", None)]
+
+
+def test_sitemap_plan_shuffle_free(spark):
+    from py_schemax_spark.operators.robots import parse_sitemaps
+
+    df = spark.createDataFrame(
+        [("a.org", "<urlset></urlset>")], "host string, xml string"
+    )
+    plan = (
+        parse_sitemaps(df)._jdf.queryExecution().executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
