@@ -2509,6 +2509,31 @@ def q_pagerank(spark, sf_dir):
     return pagerank(edges, iters=3)
 
 
+def q_trustrank(spark, sf_dir):
+    """Personalized PageRank (TrustRank) over the same planted
+    40-node graph as `pagerank`, seeds = nodes divisible by 5 —
+    teleportation restricted to the trusted set, every rank
+    engine-exact, oracled against a 3-level unrolled DuckDB CTE with
+    the seed-gated base term."""
+    from py_schemax_spark.operators.linkgraph import personalized_pagerank
+
+    d = _docs(spark, sf_dir)
+    k = F.col("doc_id")
+    e1 = d.select(
+        (k % 40).alias("src"), ((k * 7 + 1) % 40).alias("dst")
+    )
+    e2 = d.filter(k % 2 == 0).select(
+        (k % 40).alias("src"), ((k * 13 + 5) % 40).alias("dst")
+    )
+    edges = e1.union(e2).filter(F.col("src") != F.col("dst"))
+    seeds = (
+        d.select((k % 40).alias("node"))
+        .filter(F.col("node") % 5 == 0)
+        .distinct()
+    )
+    return personalized_pagerank(edges, seeds, iters=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window covers the
     queries that most need a fresh green row. Round 3's driver record
@@ -2613,6 +2638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "shard_plan": q_shard_plan,
         "sitemap": q_sitemap,
+        "trustrank": q_trustrank,
         "html_meta": q_html_meta,
         "card_scan": q_card_scan,
         "inverted_index": q_inverted_index,
@@ -4512,9 +4538,59 @@ i3 AS (
 SELECT node, rank FROM i3
 """
 
+    trustrank_sql = """
+WITH e0 AS (
+  SELECT doc_id % 40 AS src, (doc_id * 7 + 1) % 40 AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id % 40, (doc_id * 13 + 5) % 40
+  FROM documents WHERE doc_id % 2 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+n AS (SELECT DISTINCT src AS node FROM e
+      UNION SELECT DISTINCT dst FROM e),
+r0 AS (SELECT node,
+              CAST(CASE WHEN node % 5 = 0 THEN 1000000 ELSE 0 END
+                   AS BIGINT) AS rank
+       FROM n),
+i1 AS (
+  SELECT n.node,
+         CAST(CASE WHEN n.node % 5 = 0 THEN 150000 ELSE 0 END
+              + (8500 * coalesce(s.inc, 0)) // 10000
+              AS BIGINT) AS rank
+  FROM n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r0.rank // od.d) AS inc
+    FROM e JOIN r0 ON r0.node = e.src JOIN od ON od.src = e.src
+    GROUP BY e.dst) s ON n.node = s.node
+),
+i2 AS (
+  SELECT n.node,
+         CAST(CASE WHEN n.node % 5 = 0 THEN 150000 ELSE 0 END
+              + (8500 * coalesce(s.inc, 0)) // 10000
+              AS BIGINT) AS rank
+  FROM n LEFT JOIN (
+    SELECT e.dst AS node, SUM(i1.rank // od.d) AS inc
+    FROM e JOIN i1 ON i1.node = e.src JOIN od ON od.src = e.src
+    GROUP BY e.dst) s ON n.node = s.node
+),
+i3 AS (
+  SELECT n.node,
+         CAST(CASE WHEN n.node % 5 = 0 THEN 150000 ELSE 0 END
+              + (8500 * coalesce(s.inc, 0)) // 10000
+              AS BIGINT) AS rank
+  FROM n LEFT JOIN (
+    SELECT e.dst AS node, SUM(i2.rank // od.d) AS inc
+    FROM e JOIN i2 ON i2.node = e.src JOIN od ON od.src = e.src
+    GROUP BY e.dst) s ON n.node = s.node
+)
+SELECT node, rank FROM i3
+"""
+
     return {
         "domain_graph": domain_graph_sql,
         "pagerank": pagerank_sql,
+        "trustrank": trustrank_sql,
         "text_classifier": text_classifier_sql,
         "classifier_eval": classifier_eval_sql,
         "dsir": dsir_sql,

@@ -298,3 +298,114 @@ def extract_anchors(
     if absolute_only:
         out = out.filter(F.col("dst_url").rlike(r"^https?://"))
     return out
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    iters: int = 3,
+    scale: int = 1_000_000,
+    damping_bp: int = 8500,
+    max_seed_broadcast_rows: int = 5_000_000,
+) -> DataFrame:
+    """TrustRank-style personalized PageRank: `pagerank`'s integer
+    fixed-point recurrence with teleportation restricted to a SEED
+    set (Gyöngyi et al. 2004) — trust flows out from hand-vetted
+    domains, so link-spam clusters that inflate vanilla PageRank
+    score ~0 here. The standard web-curation companion to
+    `induce_domain_blocklist` (blocklist = distrust, this = trust).
+
+    Recurrence (every term a non-negative bigint, floor divs only —
+    engine-exact like `pagerank`):
+
+        r0(node) = scale if node in seeds else 0
+        r'(node) = (seed ? ((10000-damping_bp)*scale) div 10000 : 0)
+                   + (damping_bp * inc(node)) div 10000
+
+    Seed membership joins onto the node table ONCE before the loop —
+    broadcast when the seed list is small (bounded `_exceeds` probe,
+    the `referential` idiom; trusted-seed lists are typically 10^2-
+    10^5 domains), plain shuffle join otherwise. Per-iteration plan
+    shape is identical to `pagerank` (rank table is the only thing
+    that shuffles; previous round's checkpoint blocks released as
+    soon as the next materializes).
+    """
+    if iters < 1:
+        raise ValueError("personalized_pagerank: iters must be >= 1")
+    from .referential import _exceeds
+
+    src, dst = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(src.alias("src"), dst.alias("dst"))
+        .filter(src.isNotNull() & dst.isNotNull())
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_outdeg")
+    )
+    ewd = (
+        e.join(outdeg, "src")
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seed_flags = seeds.select(
+        F.col(seed_col).alias("node"), F.lit(True).alias("_seed")
+    ).distinct()
+    if not _exceeds(seed_flags, max_seed_broadcast_rows):
+        seed_flags = F.broadcast(seed_flags)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(seed_flags, "node", "left")
+        .select(
+            "node", F.coalesce(F.col("_seed"), F.lit(False)).alias("_seed")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    base = ((10000 - damping_bp) * scale) // 10000
+    base_col = (
+        F.when(F.col("_seed"), F.lit(base)).otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    sc = edges.sparkSession.sparkContext
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("_seed"), F.lit(scale)).otherwise(F.lit(0))
+        .cast("bigint").alias("rank"),
+    ).localCheckpoint()
+    prev_ids = _checkpoint_rdd_ids(ranks)
+    for _ in range(iters):
+        inc = (
+            ewd.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div _outdeg").alias("_contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_contrib").alias("_inc"))
+        )
+        stepped = (
+            nodes.join(inc, "node", "left")
+            .select(
+                "node",
+                (
+                    base_col
+                    + F.expr(
+                        f"({damping_bp} * coalesce(_inc, 0)) div 10000"
+                    )
+                ).cast("bigint").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        new_ids = _checkpoint_rdd_ids(stepped)
+        _unpersist_rdd_ids(sc, prev_ids)
+        prev_ids = new_ids
+        ranks = stepped
+    return _track_persisted(
+        ranks.select("node", "rank"),
+        [ewd, nodes, _CheckpointHandle(sc, prev_ids)],
+    )

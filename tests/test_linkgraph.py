@@ -227,3 +227,88 @@ def test_extract_anchors_zero_exchanges_and_binary(spark):
     assert out.collect()[0]["anchor"] == "B"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (TrustRank)
+
+
+def _ppr_py(edges, seeds, iters=3, scale=1_000_000, damping_bp=8500):
+    e = sorted(set(edges))
+    outdeg = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    nodes = {s for s, _ in e} | {d for _, d in e}
+    base = ((10000 - damping_bp) * scale) // 10000
+    r = {n: (scale if n in seeds else 0) for n in nodes}
+    for _ in range(iters):
+        inc = {n: 0 for n in nodes}
+        for s, d in e:
+            inc[d] += r[s] // outdeg[s]
+        r = {
+            n: (base if n in seeds else 0)
+            + (damping_bp * inc[n]) // 10000
+            for n in nodes
+        }
+    return r
+
+
+def test_trustrank_matches_python_fixed_point(spark):
+    from py_schemax_spark.operators.linkgraph import personalized_pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 3), (1, 3), (5, 0)]
+    seeds = [0]
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            spark.createDataFrame(edges, "src long, dst long"),
+            spark.createDataFrame([(s,) for s in seeds], "node long"),
+            iters=3,
+        ).collect()
+    }
+    assert got == _ppr_py(edges, set(seeds))
+
+
+def test_trustrank_spam_cluster_scores_zero(spark):
+    from py_schemax_spark.operators.linkgraph import personalized_pagerank
+
+    # spam farm 10<->11<->12 is unreachable from the trusted seed 0
+    edges = [(0, 1), (1, 0), (10, 11), (11, 12), (12, 10), (10, 12)]
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            spark.createDataFrame(edges, "src long, dst long"),
+            spark.createDataFrame([(0,)], "node long"),
+            iters=4,
+        ).collect()
+    }
+    assert got[10] == got[11] == got[12] == 0
+    assert got[0] > 0 and got[1] > 0
+
+
+def test_trustrank_partitioning_invariance(spark):
+    from py_schemax_spark.operators.linkgraph import personalized_pagerank
+
+    edges = [(i % 9, (i * 5 + 2) % 9) for i in range(40)]
+    edges = [e for e in edges if e[0] != e[1]]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(0,), (4,)], "node long")
+    a = sorted(map(tuple, personalized_pagerank(edf, sdf).collect()))
+    b = sorted(
+        map(
+            tuple,
+            personalized_pagerank(
+                edf.repartition(7), sdf.repartition(2)
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_trustrank_iters_validation(spark):
+    from py_schemax_spark.operators.linkgraph import personalized_pagerank
+
+    edf = spark.createDataFrame([(0, 1)], "src long, dst long")
+    sdf = spark.createDataFrame([(0,)], "node long")
+    with pytest.raises(ValueError):
+        personalized_pagerank(edf, sdf, iters=0)
