@@ -2534,6 +2534,52 @@ def q_trustrank(spark, sf_dir):
     return personalized_pagerank(edges, seeds, iters=3)
 
 
+def q_frontier(spark, sf_dir):
+    """Frontier expansion over planted candidates: each doc pair
+    (2k, 2k+1) references the same page under two decorated
+    spellings (the `canonical_dedup` plant — n_refs 2 after
+    collapse), doc_id%10==0 adds a fresh single-reference URL, and
+    doc_id%7==3 contributes a null candidate (dropped). The seen set
+    is the k%4==0 pages under a THIRD decorated spelling (www. +
+    uppercase host), so both sides must canonicalize for the
+    anti-join to land. Oracle enumerates the surviving frontier in
+    closed form."""
+    from py_schemax_spark.operators.frontier import build_frontier
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id").isNotNull())
+    did = F.col("doc_id")
+    k = F.expr("doc_id div 2")
+    host = F.concat(F.lit("d"), (k % 97).cast("string"))
+    even = F.concat(
+        F.lit("HTTPS://crawler:pw@WWW."), F.upper(host),
+        F.lit(".Example.ORG:443/p/"), k.cast("string"),
+        F.lit("/?b=2&a=1&utm_source=feed&#frag"),
+    )
+    odd = F.concat(
+        F.lit("https://"), host, F.lit(".example.org/p/"),
+        k.cast("string"), F.lit("?a=1&b=2"),
+    )
+    pair = d.select(
+        F.when(did % 2 == 0, even).otherwise(odd).alias("url")
+    )
+    extra = d.filter(did % 10 == 0).select(
+        F.concat(F.lit("https://new.example.org/s/"),
+                 did.cast("string")).alias("url")
+    )
+    nulls = d.filter(did % 7 == 3).select(
+        F.lit(None).cast("string").alias("url")
+    )
+    candidates = pair.union(extra).union(nulls)
+    seen = d.filter((k % 4 == 0) & (did % 2 == 0)).select(
+        F.concat(
+            F.lit("https://WWW."), F.upper(host),
+            F.lit(".example.org/p/"), k.cast("string"),
+            F.lit("?a=1&b=2"),
+        ).alias("url")
+    )
+    return build_frontier(candidates, seen)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window covers the
     queries that most need a fresh green row. Round 3's driver record
@@ -2639,6 +2685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_plan": q_shard_plan,
         "sitemap": q_sitemap,
         "trustrank": q_trustrank,
+        "frontier": q_frontier,
         "html_meta": q_html_meta,
         "card_scan": q_card_scan,
         "inverted_index": q_inverted_index,
@@ -4594,6 +4641,29 @@ SELECT node, rank FROM i3
         "text_classifier": text_classifier_sql,
         "classifier_eval": classifier_eval_sql,
         "dsir": dsir_sql,
+        # closed-form twin of q_frontier: pair pages for k%4<>0 plus
+        # the fresh doc_id%10==0 singletons; seen (k%4==0) and null
+        # candidates are absent by construction
+        "frontier": """
+WITH ks AS (SELECT doc_id // 2 AS k, CAST(COUNT(*) AS BIGINT) AS c
+            FROM documents WHERE doc_id IS NOT NULL
+            GROUP BY doc_id // 2),
+pair AS (
+  SELECT 'https://d' || CAST(k % 97 AS VARCHAR) || '.example.org/p/'
+           || CAST(k AS VARCHAR) || '?a=1&b=2' AS url,
+         c AS n_refs
+  FROM ks WHERE k % 4 <> 0
+),
+extra AS (
+  SELECT 'https://new.example.org/s/' || CAST(doc_id AS VARCHAR)
+           AS url,
+         CAST(1 AS BIGINT) AS n_refs
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT url, n_refs FROM pair
+UNION ALL
+SELECT url, n_refs FROM extra
+""",
         # closed-form twin of q_sitemap's planted payload structure
         "sitemap": """
 WITH d AS (

@@ -439,7 +439,7 @@ def main() -> None:
         "robots", "domain_blocklist", "audio_meta", "ann_pq",
         "ann_ivfpq", "html_meta", "card_scan", "inverted_index",
         "anchors", "lang_agreement", "dsir", "main_content",
-        "shard_plan", "sitemap", "trustrank",
+        "shard_plan", "sitemap", "trustrank", "frontier",
     ]
     queries = entrymod.queries()
     from py_schemax_spark.operators.dedup import (
