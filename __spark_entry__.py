@@ -2580,6 +2580,21 @@ def q_frontier(spark, sf_dir):
     return build_frontier(candidates, seen)
 
 
+def q_corpus_report(spark, sf_dir):
+    """One-row corpus datasheet with planted PII (doc_id%23==9 gains
+    an email) so the incidence term is non-trivially exercised; every
+    statistic is an exact integer the oracle recomputes from the same
+    table."""
+    from py_schemax_spark.operators.profile import corpus_report
+
+    d = _docs(spark, sf_dir)
+    planted = F.when(
+        F.col("doc_id") % 23 == 9,
+        F.concat(F.col("text"), F.lit(" contact op@example.org now")),
+    ).otherwise(F.col("text"))
+    return corpus_report(d.withColumn("text", planted))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window covers the
     queries that most need a fresh green row. Round 3's driver record
@@ -2686,6 +2701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap": q_sitemap,
         "trustrank": q_trustrank,
         "frontier": q_frontier,
+        "corpus_report": q_corpus_report,
         "html_meta": q_html_meta,
         "card_scan": q_card_scan,
         "inverted_index": q_inverted_index,
@@ -4641,6 +4657,55 @@ SELECT node, rank FROM i3
         "text_classifier": text_classifier_sql,
         "classifier_eval": classifier_eval_sql,
         "dsir": dsir_sql,
+        # corpus datasheet over the same planted-PII text; every term
+        # recomputed independently in SQL
+        "corpus_report": r"""
+WITH p AS (
+  SELECT lang,
+         CASE WHEN doc_id % 23 = 9
+              THEN text || ' contact op@example.org now'
+              ELSE text END AS text
+  FROM documents
+),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_null_text,
+         CAST(SUM(COALESCE(len(regexp_extract_all(text,
+                '[^ \t\n\r\f]+')), 0)) AS BIGINT) AS total_tokens,
+         CAST(SUM(COALESCE(length(text), 0)) AS BIGINT)
+           AS total_chars,
+         CAST(COUNT(DISTINCT md5(text)) AS BIGINT)
+           AS n_distinct_texts,
+         CAST(SUM(CASE WHEN text IS NOT NULL AND (
+                regexp_matches(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+                OR regexp_matches(text,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')
+                OR regexp_matches(text,
+                  '\+\d{1,3}[ -]\d{3}[ -]\d{3,4}[ -]\d{3,4}\b')
+              ) THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM p
+),
+top AS (
+  SELECT lang AS top_lang,
+         CAST(COUNT(*) AS BIGINT) AS top_lang_n
+  FROM p GROUP BY lang
+  ORDER BY COUNT(*) DESC, lang ASC NULLS LAST LIMIT 1
+)
+SELECT n_docs, n_null_text, total_tokens, total_chars,
+       n_distinct_texts, pii_docs, n_langs, top_lang, top_lang_n,
+       CASE WHEN n_docs - n_null_text > 0 THEN
+         CAST(((n_docs - n_null_text - n_distinct_texts) * 10000)
+              // (n_docs - n_null_text) AS BIGINT) END AS exact_dup_bp,
+       CASE WHEN n_docs > 0 THEN
+         CAST((pii_docs * 10000) // n_docs AS BIGINT) END AS pii_bp,
+       CASE WHEN n_docs > 0 THEN
+         CAST((top_lang_n * 10000) // n_docs AS BIGINT) END
+         AS top_lang_bp
+FROM base CROSS JOIN top
+""",
         # closed-form twin of q_frontier: pair pages for k%4<>0 plus
         # the fresh doc_id%10==0 singletons; seen (k%4==0) and null
         # candidates are absent by construction

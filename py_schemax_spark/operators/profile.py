@@ -461,3 +461,75 @@ def dup_rate_by_group(
             ).alias("dup_bp"),
         )
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """One-row corpus datasheet — the bounded summary a data card or
+    crawl-health dashboard starts from: document/token/char totals,
+    null-text count, exact-duplication rate, language spread with the
+    dominant language's share, and PII incidence (the
+    `operators.pii` pattern contract), all in exact integer basis
+    points.
+
+    Scale shape: ONE corpus aggregation (the two ``countDistinct``
+    terms make it Spark's expand/two-phase distinct — the shuffle
+    carries digest-width tuples with map-side partials, never
+    document bodies) plus ONE lang-granular aggregation whose output
+    is bounded by language cardinality; the two single-row/tiny
+    results cross-join driver-side. Output is exactly one row
+    regardless of corpus size. Dominant-language tie-break is
+    ``(count desc, lang asc nulls last)`` — rendered identically in
+    the SQL oracle (Spark default sorts nulls first, DuckDB last;
+    the explicit ordering removes the divergence).
+    """
+    from py_schemax_spark.operators.pii import PII_PATTERNS
+
+    c = F.col(text_col)
+    tok = F.regexp_count(c, F.lit(r"[^ \t\n\r\f]+"))
+    any_pii = None
+    for _, pat, _rep in PII_PATTERNS:
+        hit = F.regexp_count(c, F.lit(pat)) > 0
+        any_pii = hit if any_pii is None else (any_pii | hit)
+    base = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(c.isNull().cast("long")).cast("long").alias("n_null_text"),
+        F.sum(F.coalesce(tok, F.lit(0))).cast("long")
+        .alias("total_tokens"),
+        F.sum(F.coalesce(F.length(c), F.lit(0))).cast("long")
+        .alias("total_chars"),
+        F.countDistinct(F.md5(c)).cast("long").alias("n_distinct_texts"),
+        F.sum(F.coalesce(any_pii.cast("long"), F.lit(0))).cast("long")
+        .alias("pii_docs"),
+        F.countDistinct(F.col(lang_col)).cast("long").alias("n_langs"),
+    )
+    top = (
+        df.groupBy(lang_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("top_lang_n"))
+        .orderBy(F.desc("top_lang_n"), F.asc_nulls_last(lang_col))
+        .limit(1)
+        .select(F.col(lang_col).alias("top_lang"), "top_lang_n")
+    )
+    with_text = F.col("n_docs") - F.col("n_null_text")
+    return base.crossJoin(top).select(
+        "n_docs", "n_null_text", "total_tokens", "total_chars",
+        "n_distinct_texts", "pii_docs", "n_langs", "top_lang",
+        "top_lang_n",
+        F.when(
+            with_text > 0,
+            F.expr(
+                "(n_docs - n_null_text - n_distinct_texts) * 10000 "
+                "div (n_docs - n_null_text)"
+            ),
+        ).cast("long").alias("exact_dup_bp"),
+        F.when(
+            F.col("n_docs") > 0, F.expr("pii_docs * 10000 div n_docs")
+        ).cast("long").alias("pii_bp"),
+        F.when(
+            F.col("n_docs") > 0,
+            F.expr("top_lang_n * 10000 div n_docs"),
+        ).cast("long").alias("top_lang_bp"),
+    )

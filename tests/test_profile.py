@@ -158,3 +158,58 @@ class TestProfileCLIAndTable:
 
         assert main(["profile", "/nope", "--hh-k", "1"], spark=spark) == 2
         assert "hh-k" in capsys.readouterr().err
+
+
+# ---------------------------------------------------------------------------
+# corpus_report
+
+
+def test_corpus_report_hand_computed(spark):
+    from py_schemax_spark.operators.profile import corpus_report
+
+    rows = [
+        (0, "alpha beta", "en"),
+        (1, "alpha beta", "en"),          # exact dup of 0
+        (2, "mail me x@y.org today", "en"),
+        (3, None, "de"),
+        (4, "unique text here", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = corpus_report(df).collect()
+    assert len(got) == 1
+    r = got[0].asDict()
+    assert r["n_docs"] == 5
+    assert r["n_null_text"] == 1
+    assert r["total_tokens"] == 2 + 2 + 4 + 0 + 3
+    assert r["n_distinct_texts"] == 3
+    assert r["pii_docs"] == 1
+    assert r["n_langs"] == 2  # nulls not counted (SQL COUNT DISTINCT)
+    assert r["top_lang"] == "en" and r["top_lang_n"] == 3
+    # 4 docs with text, 3 distinct -> 1 dup -> 2500 bp
+    assert r["exact_dup_bp"] == 2500
+    assert r["pii_bp"] == 2000
+    assert r["top_lang_bp"] == 6000
+
+
+def test_corpus_report_top_lang_tiebreak_nulls_last(spark):
+    from py_schemax_spark.operators.profile import corpus_report
+
+    rows = [(0, "a", None), (1, "b", None), (2, "c", "fr"),
+            (3, "d", "fr"), (4, "e", "en"), (5, "f", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = corpus_report(df).collect()[0]
+    # three-way count tie (2,2,2): lang asc NULLS LAST -> "en"
+    assert r["top_lang"] == "en"
+
+
+def test_corpus_report_all_null_text(spark):
+    from py_schemax_spark.operators.profile import corpus_report
+
+    df = spark.createDataFrame(
+        [(0, None, "en"), (1, None, "en")],
+        "doc_id long, text string, lang string",
+    )
+    r = corpus_report(df).collect()[0]
+    assert r["n_distinct_texts"] == 0
+    assert r["exact_dup_bp"] is None  # no text docs: rate undefined
+    assert r["total_tokens"] == 0
