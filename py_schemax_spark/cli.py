@@ -130,6 +130,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "(repeatable)")
     cu.add_argument("--default-budget", type=int, default=0,
                     help="token budget for languages without --budget")
+    cu.add_argument("--export-shards", action="store_true",
+                    help="also write DIR/shards/: deterministic "
+                         "token-budgeted JSONL training shards")
+    cu.add_argument("--shard-budget", type=int, default=1_000_000,
+                    metavar="TOKENS",
+                    help="max tokens per shard for --export-shards "
+                         "(default 1000000)")
     cu.add_argument("--min-line-docs", type=int, default=10)
     cu.add_argument("--jaccard-threshold", type=float, default=0.8)
     cu.add_argument("--no-report", action="store_true",
@@ -437,6 +444,43 @@ def curate_main(ns, spark=None) -> int:
         out_dir.mkdir(parents=True, exist_ok=True)
         curated.write.mode("overwrite").parquet(str(out_dir / "curated"))
         rep["table"] = ns.table
+        if ns.export_shards:
+            if ns.shard_budget <= 0:
+                print("error: --shard-budget must be positive",
+                      file=sys.stderr)
+                return 2
+            from pyspark.sql import functions as F
+
+            from py_schemax_spark.sources.shards import (
+                plan_shards,
+                write_jsonl_shards,
+            )
+
+            sized = curated.withColumn(
+                "n_units",
+                F.coalesce(
+                    F.regexp_count(
+                        F.col(cfg.text_col), F.lit(r"[^ \t\n\r\f]+")
+                    ),
+                    F.lit(0),
+                ).cast("long"),
+            )
+            plan = plan_shards(
+                sized.select(cfg.key_col, "n_units"),
+                key_col=cfg.key_col,
+                max_units_per_shard=ns.shard_budget,
+            )
+            sharded = sized.drop("n_units").join(plan, cfg.key_col)
+            write_jsonl_shards(
+                sharded, str(out_dir / "shards"), mode="overwrite"
+            )
+            n_shards = plan.select(
+                F.countDistinct("shard_id")
+            ).collect()[0][0]
+            rep["shards"] = {
+                "n_shards": int(n_shards),
+                "budget": ns.shard_budget,
+            }
         with open(out_dir / "report.json", "w") as f:
             _json.dump(rep, f, indent=1)
         if ns.use_json:

@@ -210,3 +210,40 @@ def test_curation_redact_stage_rewrites_text_in_place(spark):
     assert got[1] == "clean text here"
     assert rep["stages"]["redact"] == {"in": 2, "out": 2}
     assert set(out.columns) == {"doc_id", "text", "lang"}
+
+
+def test_curate_cli_export_shards(spark, tmp_path):
+    from py_schemax_spark.cli import main
+
+    src = str(tmp_path / "c3")
+    _corpus(spark).write.parquet(src)
+    out = str(tmp_path / "o3")
+    rc = main(
+        ["curate", src, "--out", out, "--steps", "normalize",
+         "--export-shards", "--shard-budget", "20"],
+        spark=spark,
+    )
+    assert rc == 0
+    rep = json.loads((tmp_path / "o3" / "report.json").read_text())
+    assert rep["shards"]["budget"] == 20
+    assert rep["shards"]["n_shards"] >= 2
+    curated = spark.read.parquet(out + "/curated")
+    shards = spark.read.json(out + "/shards")
+    assert shards.count() == curated.count()
+    # every curated column survives into the shard rows, plus the plan
+    for c in curated.columns:
+        assert c in shards.columns
+    assert "shard_id" in shards.columns and "offset" in shards.columns
+
+
+def test_curate_cli_bad_shard_budget_exits_2(spark, tmp_path):
+    from py_schemax_spark.cli import main
+
+    src = str(tmp_path / "c4")
+    _corpus(spark).write.parquet(src)
+    rc = main(
+        ["curate", src, "--out", str(tmp_path / "o4"),
+         "--export-shards", "--shard-budget", "0"],
+        spark=spark,
+    )
+    assert rc == 2
