@@ -2595,6 +2595,27 @@ def q_corpus_report(spark, sf_dir):
     return corpus_report(d.withColumn("text", planted))
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """Round-1 BPE pair counts over the top-200 word-frequency table
+    (cap tie-break exercised) — the SQL-reproducible half of BPE
+    training; the iterative merge sequence is the rows-only
+    `bpe_merges` twin pinned by the pytest python-twin."""
+    from py_schemax_spark.operators.bpe import bpe_pair_counts
+
+    d = _docs(spark, sf_dir)
+    return bpe_pair_counts(d, top_words=200)
+
+
+def q_bpe_merges(spark, sf_dir):
+    """First 8 learned BPE merges on the same capped word table —
+    rows-only by design (the merge loop is iterative; its reference
+    is the pure-Python twin in tests/test_bpe.py)."""
+    from py_schemax_spark.operators.bpe import train_bpe
+
+    d = _docs(spark, sf_dir)
+    return train_bpe(d, n_merges=8, top_words=200)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window covers the
     queries that most need a fresh green row. Round 3's driver record
@@ -2702,6 +2723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "frontier": q_frontier,
         "corpus_report": q_corpus_report,
+        "bpe_pairs": q_bpe_pairs,
+        "bpe_merges": q_bpe_merges,
         "html_meta": q_html_meta,
         "card_scan": q_card_scan,
         "inverted_index": q_inverted_index,
@@ -4657,6 +4680,28 @@ SELECT node, rank FROM i3
         "text_classifier": text_classifier_sql,
         "classifier_eval": classifier_eval_sql,
         "dsir": dsir_sql,
+        # the decontam token contract + DuckDB list comprehension
+        # rebuild the capped word table and its char pairs exactly
+        "bpe_pairs": r"""
+WITH w AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_filter(
+             string_split_regex(lower(text), '[ \t\n\r\f]+'),
+             x -> x <> '')) AS word
+    FROM documents WHERE text IS NOT NULL
+  ) GROUP BY word
+  ORDER BY cnt DESC, word ASC LIMIT 200
+),
+s AS (SELECT cnt, regexp_extract_all(word, '.') AS sym FROM w),
+p AS (
+  SELECT cnt,
+         unnest([{'l': sym[i], 'r': sym[i+1]}
+                 for i in range(1, len(sym))]) AS pr
+  FROM s
+)
+SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS n
+FROM p GROUP BY pr.l, pr.r
+""",
         # corpus datasheet over the same planted-PII text; every term
         # recomputed independently in SQL
         "corpus_report": r"""
