@@ -2616,6 +2616,17 @@ def q_bpe_merges(spark, sf_dir):
     return train_bpe(d, n_merges=8, top_words=200)
 
 
+def q_funnel(spark, sf_dir):
+    """view → click → purchase conversion funnel over the events
+    table; the oracle rebuilds the greedy subsequence match with
+    chained first-occurrence-after joins over a row_number ordering
+    identical to the engine's (ts, event_id) sort."""
+    from py_schemax_spark.operators.funnel import funnel_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_report(ev, ("view", "click", "purchase"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window covers the
     queries that most need a fresh green row. Round 3's driver record
@@ -2725,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "bpe_pairs": q_bpe_pairs,
         "bpe_merges": q_bpe_merges,
+        "funnel": q_funnel,
         "html_meta": q_html_meta,
         "card_scan": q_card_scan,
         "inverted_index": q_inverted_index,
@@ -4680,6 +4692,31 @@ SELECT node, rank FROM i3
         "text_classifier": text_classifier_sql,
         "classifier_eval": classifier_eval_sql,
         "dsir": dsir_sql,
+        # greedy subsequence funnel as chained min-occurrence joins
+        "funnel": """
+WITH ev AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS ord
+  FROM events WHERE ts IS NOT NULL
+),
+e1 AS (SELECT user_id, MIN(ord) AS o1 FROM ev
+       WHERE event_type = 'view' GROUP BY user_id),
+e2 AS (SELECT ev.user_id, MIN(ord) AS o2
+       FROM ev JOIN e1 USING (user_id)
+       WHERE event_type = 'click' AND ord > o1
+       GROUP BY ev.user_id),
+e3 AS (SELECT ev.user_id, MIN(ord) AS o3
+       FROM ev JOIN e2 USING (user_id)
+       WHERE event_type = 'purchase' AND ord > o2
+       GROUP BY ev.user_id)
+SELECT CAST(1 AS BIGINT) AS stage,
+       CAST((SELECT COUNT(*) FROM e1) AS BIGINT) AS n_users
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST((SELECT COUNT(*) FROM e2) AS BIGINT)
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST((SELECT COUNT(*) FROM e3) AS BIGINT)
+""",
         # the decontam token contract + DuckDB list comprehension
         # rebuild the capped word table and its char pairs exactly
         "bpe_pairs": r"""

@@ -440,7 +440,7 @@ def main() -> None:
         "ann_ivfpq", "html_meta", "card_scan", "inverted_index",
         "anchors", "lang_agreement", "dsir", "main_content",
         "shard_plan", "sitemap", "trustrank", "frontier",
-        "corpus_report", "bpe_pairs", "bpe_merges",
+        "corpus_report", "bpe_pairs", "bpe_merges", "funnel",
     ]
     queries = entrymod.queries()
     from py_schemax_spark.operators.dedup import (
