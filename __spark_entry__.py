@@ -2627,6 +2627,16 @@ def q_funnel(spark, sf_dir):
     return funnel_report(ev, ("view", "click", "purchase"))
 
 
+def q_retention(spark, sf_dir):
+    """Day-grain cohort retention over the events table (offset capped
+    at 30 days); the oracle mirrors the null-safe cohort join and the
+    anonymous-cohort counting term exactly."""
+    from py_schemax_spark.operators.retention import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev, max_offset_days=30)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window covers the
     queries that most need a fresh green row. Round 3's driver record
@@ -2737,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "bpe_merges": q_bpe_merges,
         "funnel": q_funnel,
+        "retention": q_retention,
         "html_meta": q_html_meta,
         "card_scan": q_card_scan,
         "inverted_index": q_inverted_index,
@@ -4692,6 +4703,26 @@ SELECT node, rank FROM i3
         "text_classifier": text_classifier_sql,
         "classifier_eval": classifier_eval_sql,
         "dsir": dsir_sql,
+        # cohort retention with the null-safe anonymous-cohort terms
+        "retention": """
+WITH ev AS (
+  SELECT user_id AS u, CAST(ts AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL
+),
+f AS (SELECT u, MIN(day) AS cohort_day FROM ev GROUP BY u),
+j AS (
+  SELECT ev.u, f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, ev.day) AS BIGINT)
+           AS offset_days
+  FROM ev JOIN f ON ev.u IS NOT DISTINCT FROM f.u
+)
+SELECT cohort_day, offset_days,
+       CAST(COUNT(DISTINCT u)
+            + MAX(CASE WHEN u IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_users
+FROM j WHERE offset_days <= 30
+GROUP BY cohort_day, offset_days
+""",
         # greedy subsequence funnel as chained min-occurrence joins
         "funnel": """
 WITH ev AS (
