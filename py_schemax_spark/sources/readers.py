@@ -33,6 +33,13 @@ def read_table(spark: SparkSession, uri: str) -> DataFrame:
         # streaming file source over a growing parquet directory; the
         # schema must be supplied by the caller via readStream options
         raise ValueError("use spark.readStream directly for stream: URIs")
+    if uri.startswith("jsonl:"):
+        # JSON-lines directories — e.g. the training shards
+        # `sources/shards.write_jsonl_shards` exports, closing the
+        # loop: curate → shards → validate the shards. Schema is
+        # inferred (one extra pass); pass an explicit spec-typed
+        # schema via spark.read.schema(...).json for production runs.
+        return spark.read.json(uri[len("jsonl:"):])
     if uri.startswith("warc:"):
         # raw Common-Crawl WARC/WET files — distributed record split +
         # codegen'd header/payload extraction (sources/warc.py); specs

@@ -123,3 +123,14 @@ def test_roundtrip_read_back(spark, sized_df, tmp_path):
         for r in back.collect()
     )
     assert got == expect
+
+
+def test_jsonl_uri_reads_exported_shards(spark, sized_df, tmp_path):
+    from py_schemax_spark.sources.readers import read_table
+
+    plan = plan_shards(sized_df, max_units_per_shard=500)
+    out = str(tmp_path / "uri")
+    write_jsonl_shards(plan, out)
+    back = read_table(spark, f"jsonl:{out}")
+    assert back.count() == len(ROWS)
+    assert "shard_id" in back.columns
