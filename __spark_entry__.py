@@ -2637,6 +2637,39 @@ def q_retention(spark, sf_dir):
     return retention_cohorts(ev, max_offset_days=30)
 
 
+def q_missing_days(spark, sf_dir):
+    """Ingest-completeness check over events with planted holes
+    (days-of-month ≡ 2 mod 5 filtered out BEFORE the check, shared
+    expression both engines); the oracle rebuilds the calendar with
+    generate_series and EXCEPTs the observed days."""
+    from py_schemax_spark.operators.integrity import missing_partitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    kept = ev.filter(
+        F.col("ts").isNotNull() & (F.dayofmonth(F.col("ts")) % 5 != 2)
+    )
+    return missing_partitions(kept, ts_col="ts")
+
+
+def q_fk_cardinality(spark, sf_dir):
+    """Orders whose lineitem count falls outside [1, 4] — parents
+    with zero children (planted: every 97th order's lineitems
+    dropped) or runaway child sets (TPC-H orders carry up to 7).
+    Oracle recomputes counts + verdicts in plain SQL."""
+    from py_schemax_spark.operators.integrity import (
+        fk_cardinality_violations,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_orderkey") % 97 != 0
+    )
+    return fk_cardinality_violations(
+        orders, li, "o_orderkey", "l_orderkey",
+        min_children=1, max_children=4,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window covers the
     queries that most need a fresh green row. Round 3's driver record
@@ -2748,6 +2781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "funnel": q_funnel,
         "retention": q_retention,
+        "missing_days": q_missing_days,
+        "fk_cardinality": q_fk_cardinality,
         "html_meta": q_html_meta,
         "card_scan": q_card_scan,
         "inverted_index": q_inverted_index,
@@ -4703,6 +4738,43 @@ SELECT node, rank FROM i3
         "text_classifier": text_classifier_sql,
         "classifier_eval": classifier_eval_sql,
         "dsir": dsir_sql,
+        # calendar EXCEPT observed days over the same planted holes
+        "missing_days": """
+WITH d AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day
+  FROM events
+  WHERE ts IS NOT NULL AND EXTRACT(day FROM ts) % 5 <> 2
+),
+b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM d),
+cal AS (
+  SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                     CAST(mx AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE)
+           AS missing_day
+  FROM b
+)
+SELECT missing_day FROM cal
+EXCEPT
+SELECT day FROM d
+""",
+        # child-count bounds recomputed in plain SQL
+        "fk_cardinality": """
+WITH c AS (
+  SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS n_children
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_orderkey % 97 <> 0
+  GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderkey AS key,
+         CAST(COALESCE(c.n_children, 0) AS BIGINT) AS n_children
+  FROM orders o LEFT JOIN c ON c.key = o.o_orderkey
+)
+SELECT key, n_children,
+       CASE WHEN n_children < 1 THEN 'too_few'
+            WHEN n_children > 4 THEN 'too_many' END AS violation
+FROM j WHERE n_children < 1 OR n_children > 4
+""",
         # cohort retention with the null-safe anonymous-cohort terms
         "retention": """
 WITH ev AS (

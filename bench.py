@@ -441,7 +441,7 @@ def main() -> None:
         "anchors", "lang_agreement", "dsir", "main_content",
         "shard_plan", "sitemap", "trustrank", "frontier",
         "corpus_report", "bpe_pairs", "bpe_merges", "funnel",
-        "retention",
+        "retention", "missing_days", "fk_cardinality",
     ]
     queries = entrymod.queries()
     from py_schemax_spark.operators.dedup import (

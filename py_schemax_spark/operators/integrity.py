@@ -409,3 +409,96 @@ def row_diff(
         )
         .filter(F.col("status").isNotNull())
     )
+
+
+def missing_partitions(
+    df: DataFrame,
+    ts_col: str = "ts",
+    part_col: str | None = None,
+) -> DataFrame:
+    """``(missing_day)`` — calendar days with ZERO rows between the
+    table's first and last day (an ingest-completeness check: a crawl
+    that lands daily should have no holes). Pass ``part_col`` for a
+    date-typed partition column, or ``ts_col`` to derive days from a
+    timestamp.
+
+    Scale shape: ONE aggregation to distinct observed days (bounded:
+    ≤ days, map-side combine), the expected calendar built with
+    ``sequence`` over the min/max SCALARS (single row — never a
+    corpus-sized range), and a days-granular anti-join. The corpus is
+    touched exactly once.
+    """
+    day = (
+        F.col(part_col) if part_col is not None
+        else F.to_date(F.col(ts_col))
+    )
+    observed = (
+        df.select(day.alias("day"))
+        .filter(F.col("day").isNotNull())
+        .distinct()
+    )
+    bounds = observed.agg(
+        F.min("day").alias("_mn"), F.max("day").alias("_mx")
+    )
+    expected = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col("_mn"), F.col("_mx"), F.expr("interval 1 day")
+            )
+        ).alias("day")
+    )
+    return (
+        expected.join(observed, "day", "left_anti")
+        .select(F.col("day").alias("missing_day"))
+    )
+
+
+def fk_cardinality_violations(
+    parent: DataFrame,
+    child: DataFrame,
+    parent_key: str,
+    child_fk: str,
+    min_children: int = 1,
+    max_children: int | None = None,
+) -> DataFrame:
+    """``(key, n_children, violation)`` — parents whose child count
+    falls outside ``[min_children, max_children]``. The cardinality
+    companion of the referential check: `referential_violations`
+    catches orphan CHILDREN; this catches parents with missing or
+    runaway child sets (an extractor emitting zero or thousands of
+    records per page is broken either way).
+
+    Scale shape: one child-side aggregation with map-side combine
+    (output bounded by parent cardinality) and one key-granular left
+    join — both on the same key, so AQE/bucketing co-locates them.
+    """
+    if min_children < 0:
+        raise ValueError("fk_cardinality: min_children must be >= 0")
+    if max_children is not None and max_children < min_children:
+        raise ValueError(
+            "fk_cardinality: max_children must be >= min_children"
+        )
+    counts = (
+        child.filter(F.col(child_fk).isNotNull())
+        .groupBy(F.col(child_fk).alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_children"))
+    )
+    joined = (
+        parent.select(F.col(parent_key).alias("key"))
+        .join(counts, "key", "left")
+        .select(
+            "key",
+            F.coalesce(F.col("n_children"), F.lit(0)).cast("long")
+            .alias("n_children"),
+        )
+    )
+    too_few = F.col("n_children") < min_children
+    verdict = F.when(too_few, F.lit("too_few"))
+    if max_children is not None:
+        verdict = verdict.when(
+            F.col("n_children") > max_children, F.lit("too_many")
+        )
+    return (
+        joined.withColumn("violation", verdict)
+        .filter(F.col("violation").isNotNull())
+    )
