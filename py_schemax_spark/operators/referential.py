@@ -167,3 +167,96 @@ def referential_violations(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def cardinality_violations(
+    df: DataFrame,
+    spec,
+    dims: dict[str, DataFrame],
+    partition_expr=None,
+) -> DataFrame:
+    """Violation rows for every column whose ``references`` declares
+    cardinality bounds (``min_rows``/``max_rows``) — dimension keys
+    whose FACT-row count falls outside the declared range. The
+    reverse direction of `referential_violations` (existence catches
+    orphan fact values; this catches dim members with missing or
+    runaway fact sets — a lang in the dim with zero pages means an
+    ingest hole, one with 10^9 means an extractor loop).
+
+    A TABLE-level class: a dim key's count spans partitions, so rows
+    are attributed to the ``__table__`` pseudo-partition exactly like
+    drift (the runner ORs the class into the invalid verdict
+    explicitly — `partition_summary`'s per-partition join would
+    otherwise drop them from the totals).
+
+    Scale shape (via `operators.integrity.fk_cardinality_violations`):
+    one fact-side aggregation with map-side combine, output bounded by
+    dim cardinality, one key-granular left join on the dim.
+    """
+    from py_schemax_spark.operators.integrity import (
+        fk_cardinality_violations,
+    )
+
+    key = spec.key_column
+    pcol = (
+        [F.lit("__table__").alias("part")]
+        if partition_expr is not None
+        else []
+    )
+    parts = []
+    for cs in spec.columns:
+        ref = cs.references
+        if (
+            ref is None
+            or (ref.min_rows is None and ref.max_rows is None)
+            or cs.name not in df.columns
+        ):
+            continue
+        if ref.table not in dims:
+            raise KeyError(
+                f"column '{cs.name}' references unknown dimension "
+                f"'{ref.table}' — available: {sorted(dims)}"
+            )
+        parent = dims[ref.table].select(
+            F.col(ref.column).alias("_pk")
+        ).distinct()
+        mn = ref.min_rows if ref.min_rows is not None else 0
+        viol = fk_cardinality_violations(
+            parent, df, "_pk", cs.name,
+            min_children=mn, max_children=ref.max_rows,
+        )
+        lo = str(ref.min_rows) if ref.min_rows is not None else "0"
+        hi = str(ref.max_rows) if ref.max_rows is not None else "inf"
+        parts.append(
+            viol.select(
+                F.col("key").cast("string").alias(key),
+                F.lit(f"{cs.name}.cardinality").alias("constraint_id"),
+                F.concat(
+                    F.col("violation"), F.lit(": "),
+                    F.col("n_children").cast("string"), F.lit(" rows"),
+                ).alias("observed"),
+                F.lit(
+                    f"{lo}..{hi} rows per {ref.table}.{ref.column} value"
+                ).alias("expected"),
+                *pcol,
+            )
+        )
+    if not parts:
+        extra = (
+            [F.lit("").alias("part")] if partition_expr is not None else []
+        )
+        return (
+            df.select(F.col(key).cast("string").alias(key))
+            .limit(0)
+            .select(
+                key,
+                F.lit("").alias("constraint_id"),
+                F.lit("").alias("observed"),
+                F.lit("").alias("expected"),
+                *extra,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

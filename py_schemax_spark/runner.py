@@ -49,11 +49,23 @@ from py_schemax_spark.verdict import (
     summarize_partitions,
 )
 
+def _spec_has_cardinality(spec) -> bool:
+    """True when any column's ``references`` declares min/max_rows —
+    the cardinality class is a spec-opt-in no-op otherwise."""
+    return any(
+        cs.references is not None
+        and (cs.references.min_rows is not None
+             or cs.references.max_rows is not None)
+        for cs in spec.columns
+    )
+
+
 #: registry order — the analogue of VALIDATORS_IN_ORDER
 #: (reference rulesets.py:17-21); DEFAULT_CHECKS mirrors the default
 #: rule set (rulesets.py:24) extended with the data-level classes.
 ALL_CHECKS = (
-    "schema", "rows", "extraction", "uniqueness", "referential", "drift"
+    "schema", "rows", "extraction", "uniqueness", "referential",
+    "cardinality", "drift"
 )
 DEFAULT_CHECKS = ALL_CHECKS
 
@@ -192,6 +204,7 @@ class ValidationRun:
         parts: list[DataFrame] = []
         checks_run: list[str] = []
         failed_early = False
+        cardinality_failed = False
 
         # fused single-scan path: extraction + literal-dim referential
         # checks compile into the SAME projection as the row constraints
@@ -264,6 +277,24 @@ class ValidationRun:
                     # (reference rulesets.py:41-47)
                     if not v.isEmpty():
                         failed_early = True
+            elif name == "cardinality":
+                if not _spec_has_cardinality(self.spec):
+                    continue  # no bounds declared: a no-op class
+                checks_run.append(name)
+                from py_schemax_spark.operators.referential import (
+                    cardinality_violations,
+                )
+
+                cv = cardinality_violations(
+                    df, self.spec, self.dims, partition_expr=part
+                )
+                parts.append(cv)
+                # __table__-attributed rows drop out of the
+                # per-partition summary join — track the verdict
+                # explicitly like drift does
+                cardinality_failed = not cv.isEmpty()
+                if cfg.fail_mode == "fast" and cardinality_failed:
+                    failed_early = True
             elif name == "drift":
                 if self.baseline is None:
                     continue
@@ -291,6 +322,7 @@ class ValidationRun:
         )
         invalid = (
             (not run_summary.valid) or bool(schema_errors)
+            or cardinality_failed
             or any(d["drifted"] for d in drift_list)
         )
         exit_code = (
@@ -320,7 +352,7 @@ class ValidationRun:
     #: cheap relative to the local pass: uniqueness scans only
     #: (key, order) columns; drift scans one numeric expression.
     LOCAL_CHECKS = ("schema", "rows", "extraction", "referential")
-    GLOBAL_CHECKS = ("uniqueness", "drift")
+    GLOBAL_CHECKS = ("uniqueness", "cardinality", "drift")
 
     def _run_with_checkpoint(self, df: DataFrame, source: str) -> RunResult:
         cfg = self.config
@@ -372,6 +404,17 @@ class ValidationRun:
             global_parts.append(
                 uniqueness_violations(
                     df, self.spec, order_col=cfg.order_col, partition_expr=part
+                )
+            )
+        if "cardinality" in global_ and _spec_has_cardinality(self.spec):
+            checks_run.append("cardinality")
+            from py_schemax_spark.operators.referential import (
+                cardinality_violations,
+            )
+
+            global_parts.append(
+                cardinality_violations(
+                    df, self.spec, self.dims, partition_expr=part
                 )
             )
         if "drift" in global_ and self.baseline is not None:

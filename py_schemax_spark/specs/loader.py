@@ -194,6 +194,26 @@ def validate_spec_dict(
                 )
             )
             ref = None
+        if ref is not None:
+            mn, mx = ref.get("min_rows"), ref.get("max_rows")
+            bad_bound = any(
+                v is not None and (not isinstance(v, int)
+                                   or isinstance(v, bool) or v < 0)
+                for v in (mn, mx)
+            )
+            if bad_bound or (
+                mn is not None and mx is not None and mx < mn
+            ):
+                errors.append(
+                    SpecError(
+                        "model_type",
+                        f"{loc}.references",
+                        "Fields 'min_rows'/'max_rows' must be "
+                        "non-negative integers with max_rows >= "
+                        "min_rows.",
+                    )
+                )
+                ref = None
         drift = col.get("drift")
         if drift is not None and not isinstance(drift, dict):
             errors.append(
@@ -220,7 +240,11 @@ def validate_spec_dict(
                 precision=col.get("precision"),
                 format=col.get("format"),
                 timezone=col.get("timezone"),
-                references=ReferenceSpec(ref["table"], ref["column"]) if ref else None,
+                references=ReferenceSpec(
+                    ref["table"], ref["column"],
+                    min_rows=ref.get("min_rows"),
+                    max_rows=ref.get("max_rows"),
+                ) if ref else None,
                 drift=DriftSpec(
                     on=drift.get("on", "value"),
                     psi_threshold=drift.get("psi_threshold", 0.2),

@@ -66,10 +66,19 @@ EXT_ATTRS = {"references", "drift", "required"}
 class ReferenceSpec:
     """Referential-integrity constraint: column values must exist in a
     dimension table (data analogue of DependencyValidator existence
-    checks, reference validator.py:226-316)."""
+    checks, reference validator.py:226-316).
+
+    Optional cardinality bounds (``min_rows`` / ``max_rows``) declare
+    how many FACT rows each dimension key must have — the reverse
+    direction of the existence check (existence catches orphan fact
+    values; cardinality catches dim members with missing or runaway
+    fact sets). Enforced by the ``cardinality`` constraint class,
+    which is a no-op when neither bound is declared."""
 
     table: str  # dimension table name (resolved by the runner)
     column: str  # dimension column holding the valid domain
+    min_rows: Optional[int] = None  # per-dim-key fact-row floor
+    max_rows: Optional[int] = None  # per-dim-key fact-row ceiling
 
 
 @dataclass(frozen=True)
