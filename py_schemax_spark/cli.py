@@ -236,6 +236,9 @@ def build_parser() -> argparse.ArgumentParser:
              "e.g. \"day >= date'2024-01-02'\" prunes day partitions; "
              "value predicates push down to parquet)",
     )
+    v.add_argument("--explain", action="store_true",
+                   help="print the physical plan per constraint class "
+                        "and exit without running any validation job")
     v.add_argument("--master", default=None, help="spark master override")
     v.set_defaults(fail_mode=None, output_level=None)
     return p
@@ -678,6 +681,11 @@ def main(argv: Optional[list[str]] = None, spark=None) -> int:
 
                 df = df.filter(F.expr(ns.where))
             run = ValidationRun(spark, spec_result.spec, dims, baseline, rc)
+            if ns.explain:
+                for cls, plan in run.explain_plans(df).items():
+                    print(f"== {cls} ==")
+                    print(plan)
+                continue
             result = run.run(df, source=t)
             out.print_result(result)
             if ns.output_dir:

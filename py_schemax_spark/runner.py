@@ -340,6 +340,43 @@ class ValidationRun:
             checks_run=tuple(checks_run),
         )
 
+    def explain_plans(self, df: DataFrame) -> dict[str, str]:
+        """Physical plan per enabled constraint class, WITHOUT running
+        any jobs — the plan-first workflow (`validate --explain`):
+        inspect where the exchanges, broadcasts, and pushed filters
+        land before paying for a 100-TB pass. Classes that are
+        no-ops for this spec (no extraction template, no cardinality
+        bounds, no baseline) are omitted."""
+        part = self._partition_expr(df)
+        out: dict[str, str] = {}
+        for name in self.config.enabled:
+            v = None
+            if name == "rows":
+                v = row_violations(df, self.spec, partition_expr=part)
+            elif name == "extraction" and self.spec.extraction is not None:
+                v = self._class_violations(name, df, part)
+            elif name == "uniqueness":
+                v = self._class_violations(name, df, part)
+            elif name == "referential" and any(
+                cs.references is not None for cs in self.spec.columns
+            ):
+                v = self._class_violations(name, df, part)
+            elif name == "cardinality" and _spec_has_cardinality(
+                self.spec
+            ):
+                from py_schemax_spark.operators.referential import (
+                    cardinality_violations,
+                )
+
+                v = cardinality_violations(
+                    df, self.spec, self.dims, partition_expr=part
+                )
+            if v is not None:
+                out[name] = (
+                    v._jdf.queryExecution().executedPlan().toString()
+                )
+        return out
+
     # -- checkpointed run -----------------------------------------------------
 
     #: checks whose verdicts are a pure function of one partition's rows

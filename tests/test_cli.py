@@ -387,3 +387,19 @@ def test_config_file_unreadable_surfaces_clean_error(tmp_path, monkeypatch):
     monkeypatch.setattr(builtins, "open", deny)
     with _pytest.raises(ValueError, match="could not be read"):
         resolve_config({}, config_files=(str(target),))
+
+
+def test_validate_explain_prints_plans_without_running(
+    spark, table_dir, spec_file, capsys
+):
+    code = _main(
+        spark,
+        ["validate", table_dir, "--spec", spec_file, "--explain",
+         "--check", "rows,uniqueness"],
+    )
+    assert code == 0
+    out = capsys.readouterr().out
+    assert "== rows ==" in out and "== uniqueness ==" in out
+    # a physical plan, not verdicts
+    assert "Scan parquet" in out or "FileScan" in out
+    assert "❌" not in out
