@@ -130,6 +130,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "(repeatable)")
     cu.add_argument("--default-budget", type=int, default=0,
                     help="token budget for languages without --budget")
+    cu.add_argument("--dsir-target", default=None, metavar="PATH",
+                    help="parquet corpus of target-domain text for "
+                         "the DSIR importance-selection stage")
+    cu.add_argument("--dsir-threshold", type=int, default=0,
+                    metavar="SCORE_PER_KTERM",
+                    help="DSIR keep threshold in score per 1000 terms "
+                         "(integer, default 0 = keep target-leaning)")
+    cu.add_argument("--dsir-buckets", type=int, default=4096,
+                    help="hashed-ngram model width (default 4096)")
     cu.add_argument("--export-shards", action="store_true",
                     help="also write DIR/shards/: deterministic "
                          "token-budgeted JSONL training shards")
@@ -399,6 +408,8 @@ def curate_main(ns, spark=None) -> int:
             jaccard_threshold=ns.jaccard_threshold,
             budgets=budgets,
             default_budget=ns.default_budget,
+            dsir_threshold_per_kterm=ns.dsir_threshold,
+            dsir_buckets=ns.dsir_buckets,
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
@@ -435,9 +446,13 @@ def curate_main(ns, spark=None) -> int:
                 spark.read.parquet(ns.robots),
                 user_agent=ns.robots_agent,
             )
+        dsir_target = (
+            spark.read.parquet(ns.dsir_target) if ns.dsir_target else None
+        )
         try:
             curated, rep = run_curation(
                 df, cfg, blocked_domains=blocked, robots_rules=rules_df,
+                dsir_target=dsir_target,
                 report=not ns.no_report
             )
         except ValueError as e:

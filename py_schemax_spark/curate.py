@@ -44,6 +44,7 @@ STAGES = (
     "normalize",
     "redact",
     "quality",
+    "dsir",
     "lines",
     "exact_dedup",
     "near_dedup",
@@ -69,6 +70,10 @@ class CurationConfig:
     minhash_hashes: int = 64
     budgets: dict[str, int] = field(default_factory=dict)
     default_budget: int = 0
+    # DSIR stage: importance threshold in score-per-1000-terms
+    # (integer; see operators.dsir.dsir_select) and model width
+    dsir_threshold_per_kterm: int = 0
+    dsir_buckets: int = 4096
 
     def __post_init__(self):
         unknown = set(self.steps or ()) - set(STAGES)
@@ -84,6 +89,7 @@ def run_curation(
     config: CurationConfig | None = None,
     blocked_domains: DataFrame | None = None,
     robots_rules: DataFrame | None = None,
+    dsir_target: DataFrame | None = None,
     report: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Run the enabled stages over ``df``; returns ``(curated_df,
@@ -127,6 +133,13 @@ def run_curation(
                    else "url_col is not configured")
             )
         steps.remove("blocklist")
+    if "dsir" in steps and dsir_target is None:
+        if explicit:
+            raise ValueError(
+                "steps explicitly include 'dsir' but no dsir_target "
+                "corpus was given"
+            )
+        steps.remove("dsir")
     if "mix" in steps and not cfg.budgets and not cfg.default_budget:
         if explicit:
             raise ValueError(
@@ -221,6 +234,29 @@ def run_curation(
         c = c4_profile(gc, text_col=t, key_col=k, passthrough=True)
         cur = _record(
             "quality", c.filter(F.col("c4_keep")).select(*in_cols)
+        )
+
+    if "dsir" in steps:
+        from py_schemax_spark.operators.dsir import dsir_weights
+
+        # DSIR selection runs AFTER quality (score clean text) and
+        # BEFORE the dedup stages (shrink the corpus before the
+        # expensive candidate generation). dsir_weights is two bounded
+        # model fits + a shuffle-free scoring projection; the
+        # threshold decision is integer cross-multiplication.
+        w = dsir_weights(
+            cur, dsir_target, text_col=t, key_col=k,
+            n_buckets=cfg.dsir_buckets,
+        )
+        pinned.extend(getattr(w, "_schemax_persisted", []))
+        thr = int(cfg.dsir_threshold_per_kterm)
+        keep_keys = w.filter(
+            F.col("dsir_score").isNotNull()
+            & (F.col("n_terms") > 0)
+            & (F.col("dsir_score") * 1000 >= F.lit(thr) * F.col("n_terms"))
+        ).select(F.col(k))
+        cur = _record(
+            "dsir", cur.join(keep_keys, k, "left_semi")
         )
 
     if "lines" in steps:

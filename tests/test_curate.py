@@ -247,3 +247,38 @@ def test_curate_cli_bad_shard_budget_exits_2(spark, tmp_path):
         spark=spark,
     )
     assert rc == 2
+
+
+def test_curation_dsir_stage_threshold_semantics(spark):
+    df = _corpus(spark).select("doc_id", "text", "lang")
+    target = df.filter("doc_id in (0, 1)").select("doc_id", "text")
+    # permissive threshold: the stage runs but keeps everything the
+    # quality stage passed (wiring + join-back verified)
+    cfg = CurationConfig(steps=("quality", "dsir"),
+                         dsir_threshold_per_kterm=-(10 ** 9),
+                         dsir_buckets=512)
+    curated, rep = run_curation(df, cfg, dsir_target=target)
+    assert "dsir" in rep["stages"]
+    assert rep["stages"]["dsir"]["out"] == rep["stages"]["dsir"]["in"]
+    assert rep["stages"]["dsir"]["in"] == rep["stages"]["quality"]["out"]
+    # prohibitive threshold: everything dropped
+    cfg2 = CurationConfig(steps=("quality", "dsir"),
+                          dsir_threshold_per_kterm=10 ** 9,
+                          dsir_buckets=512)
+    curated2, rep2 = run_curation(df, cfg2, dsir_target=target)
+    assert rep2["stages"]["dsir"]["out"] == 0
+    assert curated2.count() == 0
+
+
+def test_curation_dsir_strict_when_explicit_without_target(spark):
+    df = _corpus(spark).select("doc_id", "text", "lang")
+    with pytest.raises(ValueError, match="dsir"):
+        run_curation(df, CurationConfig(steps=("dsir",)))
+
+
+def test_curation_dsir_skipped_implicitly_without_target(spark):
+    df = _corpus(spark).select("doc_id", "text", "lang")
+    curated, rep = run_curation(
+        df, CurationConfig(steps=None, default_budget=10**9)
+    )
+    assert "dsir" not in rep["stages"]
