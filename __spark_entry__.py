@@ -2670,6 +2670,40 @@ def q_fk_cardinality(spark, sf_dir):
     )
 
 
+def q_anchor_profile(spark, sf_dir):
+    """Per-target anchor-text profiles over planted markup: hub pages
+    accumulate identical 'go to h' labels across referrers, %3==0
+    docs add singleton deep links, and %6==1 docs contribute an
+    ELEMENTFUL (empty-text) anchor to one shared target — counted in
+    n_refs, excluded from top_anchors. Oracle states every profile in
+    closed form."""
+    from py_schemax_spark.operators.linkgraph import (
+        anchor_text_profile,
+        extract_anchors,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    hub = (did % 7).cast("string")
+    html = F.concat(
+        F.lit('<p>x</p><a href="https://t'), hub,
+        F.lit('.org/a">go to '), hub, F.lit(" </a>"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit('<a href="https://u.org/'),
+                     did.cast("string"), F.lit('">deep link</a>')),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 6 == 1,
+            F.lit('<a href="https://e.org/x"><img/></a>'),
+        ).otherwise(F.lit("")),
+    )
+    anchors = extract_anchors(
+        d.select("doc_id", html.alias("html")), url_col="doc_id"
+    )
+    return anchor_text_profile(anchors, top_k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window covers the
     queries that most need a fresh green row. Round 3's driver record
@@ -2783,6 +2817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "missing_days": q_missing_days,
         "fk_cardinality": q_fk_cardinality,
+        "anchor_profile": q_anchor_profile,
         "html_meta": q_html_meta,
         "card_scan": q_card_scan,
         "inverted_index": q_inverted_index,
@@ -4738,6 +4773,26 @@ SELECT node, rank FROM i3
         "text_classifier": text_classifier_sql,
         "classifier_eval": classifier_eval_sql,
         "dsir": dsir_sql,
+        # closed-form twin of q_anchor_profile's planted link labels
+        "anchor_profile": """
+WITH hubs AS (
+  SELECT doc_id % 7 AS h, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY doc_id % 7
+)
+SELECT 'https://t' || CAST(h AS VARCHAR) || '.org/a' AS dst_url,
+       n AS n_refs, CAST(1 AS BIGINT) AS n_texts,
+       ['go to ' || CAST(h AS VARCHAR)] AS top_anchors
+FROM hubs
+UNION ALL
+SELECT 'https://u.org/' || CAST(doc_id AS VARCHAR),
+       CAST(1 AS BIGINT), CAST(1 AS BIGINT), ['deep link']
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT 'https://e.org/x', CAST(COUNT(*) AS BIGINT),
+       CAST(0 AS BIGINT), CAST([] AS VARCHAR[])
+FROM documents WHERE doc_id % 6 = 1
+HAVING COUNT(*) > 0
+""",
         # calendar EXCEPT observed days over the same planted holes
         "missing_days": """
 WITH d AS (

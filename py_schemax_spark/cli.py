@@ -100,7 +100,7 @@ def build_parser() -> argparse.ArgumentParser:
         "curate",
         help="run the web-corpus curation pipeline over a parquet table "
              "(robots -> blocklist -> normalize -> redact -> quality -> "
-             "line dedup -> exact dedup -> near dedup -> mix)",
+             "dsir -> line dedup -> exact dedup -> near dedup -> mix)",
     )
     cu.add_argument("table", help="input table (parquet path / warc: URI)")
     cu.add_argument("--out", required=True, metavar="DIR",

@@ -409,3 +409,63 @@ def personalized_pagerank(
         ranks.select("node", "rank"),
         [ewd, nodes, _CheckpointHandle(sc, prev_ids)],
     )
+
+
+def anchor_text_profile(
+    anchors: DataFrame,
+    top_k: int = 3,
+    dst_col: str = "dst_url",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target anchor-text profile — the classic document-expansion
+    signal (anchor-text corpora index a page under what OTHER pages
+    call it): ``(dst_url, n_refs, n_texts, top_anchors)`` with
+    ``top_anchors`` the ``top_k`` most frequent non-empty anchor
+    strings in deterministic ``(count desc, text asc)`` order.
+
+    Scale shape: one (dst, anchor)-granular aggregation with map-side
+    combine, then one dst-granular window over the ALREADY-aggregated
+    text table (rows bounded by distinct (dst, text) pairs, never the
+    raw edge multiset), then one dst rollup. Empty-text anchors
+    (elementful bodies) count toward ``n_refs`` but never appear in
+    ``top_anchors``.
+    """
+    if top_k < 1:
+        raise ValueError("anchor_text_profile: top_k must be >= 1")
+    from pyspark.sql import Window
+
+    per_text = anchors.groupBy(
+        F.col(dst_col).alias("dst_url"),
+        F.col(anchor_col).alias("_text"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    # empty-text rows rank LAST so they never consume a top_k slot
+    # (they still count toward n_refs in the rollup)
+    w = Window.partitionBy("dst_url").orderBy(
+        F.asc(F.col("_text") == ""), F.desc("_n"), F.asc("_text")
+    )
+    ranked = per_text.withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("dst_url")
+        .agg(
+            F.sum("_n").cast("long").alias("n_refs"),
+            F.sum(
+                F.when(F.col("_text") != "", 1).otherwise(0)
+            ).cast("long").alias("n_texts"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        (F.col("_rk") <= top_k) & (F.col("_text") != ""),
+                        F.struct(
+                            F.col("_rk").alias("rk"),
+                            F.col("_text").alias("text"),
+                        ),
+                    )
+                )
+            ).alias("_top"),
+        )
+        .select(
+            "dst_url", "n_refs", "n_texts",
+            F.transform(F.col("_top"), lambda s: s["text"])
+            .alias("top_anchors"),
+        )
+    )

@@ -312,3 +312,64 @@ def test_trustrank_iters_validation(spark):
     sdf = spark.createDataFrame([(0,)], "node long")
     with pytest.raises(ValueError):
         personalized_pagerank(edf, sdf, iters=0)
+
+
+# ---------------------------------------------------------------------------
+# anchor_text_profile
+
+
+def _anchors_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "src_url string, dst_url string, anchor string"
+    )
+
+
+def test_anchor_profile_hand_computed(spark):
+    from py_schemax_spark.operators.linkgraph import anchor_text_profile
+
+    rows = [
+        ("a", "https://t.org", "home"),
+        ("b", "https://t.org", "home"),
+        ("c", "https://t.org", "homepage"),
+        ("d", "https://t.org", ""),        # elementful body
+        ("e", "https://u.org", "docs"),
+    ]
+    got = {
+        r["dst_url"]: (r["n_refs"], r["n_texts"], r["top_anchors"])
+        for r in anchor_text_profile(
+            _anchors_df(spark, rows), top_k=2
+        ).collect()
+    }
+    assert got["https://t.org"] == (4, 2, ["home", "homepage"])
+    assert got["https://u.org"] == (1, 1, ["docs"])
+
+
+def test_anchor_profile_topk_and_tiebreak(spark):
+    from py_schemax_spark.operators.linkgraph import anchor_text_profile
+
+    rows = [("s", "d", t) for t in
+            ["b", "b", "a", "a", "c", "z", "z", "z"]]
+    got = anchor_text_profile(
+        _anchors_df(spark, rows), top_k=2
+    ).collect()[0]
+    # z(3) first; a/b tie at 2 -> text asc -> a
+    assert got["top_anchors"] == ["z", "a"]
+
+
+def test_anchor_profile_empty_never_takes_a_slot(spark):
+    from py_schemax_spark.operators.linkgraph import anchor_text_profile
+
+    rows = [("s", "d", "")] * 5 + [("s", "d", "label")]
+    got = anchor_text_profile(
+        _anchors_df(spark, rows), top_k=1
+    ).collect()[0]
+    assert got["n_refs"] == 6
+    assert got["n_texts"] == 1
+    assert got["top_anchors"] == ["label"]
+
+
+def test_anchor_profile_validation(spark):
+    from py_schemax_spark.operators.linkgraph import anchor_text_profile
+
+    with pytest.raises(ValueError):
+        anchor_text_profile(_anchors_df(spark, []), top_k=0)
