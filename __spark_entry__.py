@@ -2704,6 +2704,25 @@ def q_anchor_profile(spark, sf_dir):
     return anchor_text_profile(anchors, top_k=3)
 
 
+def q_hits(spark, sf_dir):
+    """Unnormalized integer HITS (2 iterations, scale 10^3) over the
+    planted 40-node graph — hubs and authorities engine-exact,
+    oracled against a 2-level unrolled DuckDB CTE of the identical
+    integer recurrence."""
+    from py_schemax_spark.operators.linkgraph import hits
+
+    d = _docs(spark, sf_dir)
+    k = F.col("doc_id")
+    e1 = d.select(
+        (k % 40).alias("src"), ((k * 7 + 1) % 40).alias("dst")
+    )
+    e2 = d.filter(k % 2 == 0).select(
+        (k % 40).alias("src"), ((k * 13 + 5) % 40).alias("dst")
+    )
+    edges = e1.union(e2).filter(F.col("src") != F.col("dst"))
+    return hits(edges, iters=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window covers the
     queries that most need a fresh green row. Round 3's driver record
@@ -2818,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "missing_days": q_missing_days,
         "fk_cardinality": q_fk_cardinality,
         "anchor_profile": q_anchor_profile,
+        "hits": q_hits,
         "html_meta": q_html_meta,
         "card_scan": q_card_scan,
         "inverted_index": q_inverted_index,
@@ -4766,10 +4786,55 @@ i3 AS (
 SELECT node, rank FROM i3
 """
 
+    hits_sql = """
+WITH e0 AS (
+  SELECT doc_id % 40 AS src, (doc_id * 7 + 1) % 40 AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id % 40, (doc_id * 13 + 5) % 40
+  FROM documents WHERE doc_id % 2 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+n AS (SELECT DISTINCT src AS node FROM e
+      UNION SELECT DISTINCT dst FROM e),
+h0 AS (SELECT node, CAST(1000 AS BIGINT) AS h FROM n),
+i1a AS (
+  SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS a
+  FROM n LEFT JOIN (
+    SELECT e.dst AS node, SUM(h0.h) AS v
+    FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst) s
+    ON n.node = s.node
+),
+i1h AS (
+  SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS h
+  FROM n LEFT JOIN (
+    SELECT e.src AS node, SUM(i1a.a) AS v
+    FROM e JOIN i1a ON i1a.node = e.dst GROUP BY e.src) s
+    ON n.node = s.node
+),
+i2a AS (
+  SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS a
+  FROM n LEFT JOIN (
+    SELECT e.dst AS node, SUM(i1h.h) AS v
+    FROM e JOIN i1h ON i1h.node = e.src GROUP BY e.dst) s
+    ON n.node = s.node
+),
+i2h AS (
+  SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS h
+  FROM n LEFT JOIN (
+    SELECT e.src AS node, SUM(i2a.a) AS v
+    FROM e JOIN i2a ON i2a.node = e.dst GROUP BY e.src) s
+    ON n.node = s.node
+)
+SELECT n.node, i2h.h AS hub, i2a.a AS authority
+FROM n JOIN i2h ON i2h.node = n.node JOIN i2a ON i2a.node = n.node
+"""
+
     return {
         "domain_graph": domain_graph_sql,
         "pagerank": pagerank_sql,
         "trustrank": trustrank_sql,
+        "hits": hits_sql,
         "text_classifier": text_classifier_sql,
         "classifier_eval": classifier_eval_sql,
         "dsir": dsir_sql,

@@ -373,3 +373,65 @@ def test_anchor_profile_validation(spark):
 
     with pytest.raises(ValueError):
         anchor_text_profile(_anchors_df(spark, []), top_k=0)
+
+
+# ---------------------------------------------------------------------------
+# HITS
+
+
+def _hits_py(edges, iters=2, scale=1000):
+    e = sorted(set(edges))
+    nodes = {s for s, _ in e} | {d for _, d in e}
+    h = {n: scale for n in nodes}
+    a = {n: scale for n in nodes}
+    for _ in range(iters):
+        a = {n: 0 for n in nodes}
+        for s, d in e:
+            a[d] += h[s]
+        h = {n: 0 for n in nodes}
+        for s, d in e:
+            h[s] += a[d]
+    return {n: (h[n], a[n]) for n in nodes}
+
+
+def test_hits_matches_python_fixed_point(spark):
+    from py_schemax_spark.operators.linkgraph import hits
+
+    edges = [(0, 1), (0, 2), (3, 1), (3, 2), (1, 4), (2, 4), (4, 0)]
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(
+            spark.createDataFrame(edges, "src long, dst long"), iters=2
+        ).collect()
+    }
+    assert got == _hits_py(edges)
+
+
+def test_hits_hub_vs_authority_structure(spark):
+    from py_schemax_spark.operators.linkgraph import hits
+
+    # 0 and 1 both point at 2,3,4 (pure hubs); 2,3,4 point nowhere
+    edges = [(s, d) for s in (0, 1) for d in (2, 3, 4)]
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(
+            spark.createDataFrame(edges, "src long, dst long"), iters=2
+        ).collect()
+    }
+    for hub_node in (0, 1):
+        assert got[hub_node][0] > 0 and got[hub_node][1] == 0
+    for auth_node in (2, 3, 4):
+        assert got[auth_node][0] == 0 and got[auth_node][1] > 0
+
+
+def test_hits_partitioning_invariance_and_validation(spark):
+    from py_schemax_spark.operators.linkgraph import hits
+
+    edges = [(i % 9, (i * 5 + 2) % 9) for i in range(40)]
+    edges = [e for e in edges if e[0] != e[1]]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    assert sorted(map(tuple, hits(edf).collect())) == sorted(
+        map(tuple, hits(edf.repartition(7)).collect())
+    )
+    with pytest.raises(ValueError):
+        hits(edf, iters=0)
