@@ -2723,6 +2723,24 @@ def q_hits(spark, sf_dir):
     return hits(edges, iters=2)
 
 
+def q_stats_merge(spark, sf_dir):
+    """Incremental stats: two snapshot manifests (doc_id parity
+    halves) merged WITHOUT rescanning data; exact fields oracled
+    against a direct full-table SQL recomputation (the HLL
+    incremental==batch identity is pytested — a sketch cannot
+    hash-oracle against DuckDB)."""
+    from py_schemax_spark.sources.stats_manifest import (
+        merge_stats_manifests,
+        stats_manifest,
+    )
+
+    d = _docs(spark, sf_dir)
+    m = stats_manifest(d.filter("doc_id % 2 = 0"), snapshot_id="even") \
+        .union(stats_manifest(d.filter("doc_id % 2 = 1"),
+                              snapshot_id="odd"))
+    return merge_stats_manifests(m).drop("approx_distinct")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window covers the
     queries that most need a fresh green row. Round 3's driver record
@@ -2838,6 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_cardinality": q_fk_cardinality,
         "anchor_profile": q_anchor_profile,
         "hits": q_hits,
+        "stats_merge": q_stats_merge,
         "html_meta": q_html_meta,
         "card_scan": q_card_scan,
         "inverted_index": q_inverted_index,
@@ -4838,6 +4857,44 @@ FROM n JOIN i2h ON i2h.node = n.node JOIN i2a ON i2a.node = n.node
         "text_classifier": text_classifier_sql,
         "classifier_eval": classifier_eval_sql,
         "dsir": dsir_sql,
+        # merged-manifest exact fields == direct full-table stats
+        "stats_merge": """
+SELECT 'doc_id' AS "column", 'bigint' AS dtype,
+       CAST(COUNT(doc_id) AS BIGINT) AS cnt,
+       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS nulls,
+       CAST(MIN(doc_id) AS DOUBLE) AS min_num,
+       CAST(MAX(doc_id) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str,
+       CAST(NULL AS VARCHAR) AS max_str
+FROM documents
+UNION ALL
+SELECT 'n_chars', 'bigint', CAST(COUNT(n_chars) AS BIGINT),
+       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE),
+       NULL, NULL
+FROM documents
+UNION ALL
+SELECT 'text', 'string', CAST(COUNT(text) AS BIGINT),
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       MIN(text), MAX(text)
+FROM documents
+UNION ALL
+SELECT 'lang', 'string', CAST(COUNT(lang) AS BIGINT),
+       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       MIN(lang), MAX(lang)
+FROM documents
+UNION ALL
+SELECT 'source', 'string', CAST(COUNT(source) AS BIGINT),
+       CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       MIN(source), MAX(source)
+FROM documents
+""",
         # closed-form twin of q_anchor_profile's planted link labels
         "anchor_profile": """
 WITH hubs AS (
