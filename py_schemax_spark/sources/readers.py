@@ -33,6 +33,15 @@ def read_table(spark: SparkSession, uri: str) -> DataFrame:
         # streaming file source over a growing parquet directory; the
         # schema must be supplied by the caller via readStream options
         raise ValueError("use spark.readStream directly for stream: URIs")
+    if uri.startswith("csv:"):
+        # header-ed CSV with schema inference — the lingua franca for
+        # dimension tables and blocklists; production runs should
+        # supply a spec-typed schema (inference is one extra pass)
+        return (
+            spark.read.option("header", "true")
+            .option("inferSchema", "true")
+            .csv(uri[len("csv:"):])
+        )
     if uri.startswith("jsonl:"):
         # JSON-lines directories — e.g. the training shards
         # `sources/shards.write_jsonl_shards` exports, closing the

@@ -134,3 +134,13 @@ def test_jsonl_uri_reads_exported_shards(spark, sized_df, tmp_path):
     back = read_table(spark, f"jsonl:{out}")
     assert back.count() == len(ROWS)
     assert "shard_id" in back.columns
+
+
+def test_csv_uri_reader(spark, tmp_path):
+    from py_schemax_spark.sources.readers import read_table
+
+    p = tmp_path / "dim.csv"
+    p.write_text("lang,name\nen,English\nde,German\n")
+    df = read_table(spark, f"csv:{p}")
+    assert sorted(r["lang"] for r in df.collect()) == ["de", "en"]
+    assert df.columns == ["lang", "name"]
