@@ -2741,6 +2741,20 @@ def q_stats_merge(spark, sf_dir):
     return merge_stats_manifests(m).drop("approx_distinct")
 
 
+def q_group_quantiles(spark, sf_dir):
+    """Per-lang n_chars quantiles on the EXACT interpolated path
+    (bounded groups at sf scale) — oracled against DuckDB
+    quantile_cont, same definition, 4-decimal rounding. The
+    approx_percentile sketch path is the production default
+    (rows-only by nature)."""
+    from py_schemax_spark.operators.profile import group_quantiles
+
+    d = _docs(spark, sf_dir)
+    return group_quantiles(
+        d, "lang", "n_chars", qs=(0.5, 0.9, 0.99), exact=True
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window covers the
     queries that most need a fresh green row. Round 3's driver record
@@ -2857,6 +2871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_profile": q_anchor_profile,
         "hits": q_hits,
         "stats_merge": q_stats_merge,
+        "group_quantiles": q_group_quantiles,
         "html_meta": q_html_meta,
         "card_scan": q_card_scan,
         "inverted_index": q_inverted_index,
@@ -4857,6 +4872,20 @@ FROM n JOIN i2h ON i2h.node = n.node JOIN i2a ON i2a.node = n.node
         "text_classifier": text_classifier_sql,
         "classifier_eval": classifier_eval_sql,
         "dsir": dsir_sql,
+        # exact interpolated per-group quantiles (quantile_cont twin)
+        "group_quantiles": """
+SELECT lang AS "group", CAST(0.5 AS DOUBLE) AS q,
+       round(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 4) AS value
+FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, CAST(0.9 AS DOUBLE),
+       round(CAST(quantile_cont(n_chars, 0.9) AS DOUBLE), 4)
+FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, CAST(0.99 AS DOUBLE),
+       round(CAST(quantile_cont(n_chars, 0.99) AS DOUBLE), 4)
+FROM documents GROUP BY lang
+""",
         # merged-manifest exact fields == direct full-table stats
         "stats_merge": """
 SELECT 'doc_id' AS "column", 'bigint' AS dtype,

@@ -442,7 +442,7 @@ def main() -> None:
         "shard_plan", "sitemap", "trustrank", "frontier",
         "corpus_report", "bpe_pairs", "bpe_merges", "funnel",
         "retention", "missing_days", "fk_cardinality",
-        "anchor_profile", "hits", "stats_merge",
+        "anchor_profile", "hits", "stats_merge", "group_quantiles",
     ]
     queries = entrymod.queries()
     from py_schemax_spark.operators.dedup import (

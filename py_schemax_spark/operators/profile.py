@@ -533,3 +533,59 @@ def corpus_report(
             F.expr("top_lang_n * 10000 div n_docs"),
         ).cast("long").alias("top_lang_bp"),
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group quantile profile ``(group, q, value)`` — the
+    distribution companion of the per-group rollups (per-lang doc
+    lengths, per-source quality scores).
+
+    Two paths, chosen explicitly:
+
+    - ``exact=False`` (default, the SCALE path):
+      ``approx_percentile`` — bounded sketch state per group, safe at
+      any group size; values are approximate (rows-only checkable).
+    - ``exact=True``: Spark's exact interpolated ``percentile``. The
+      aggregation buffers each group's values, so this is for
+      BOUNDED groups (dashboards over sampled slices, oracle
+      fixtures) — at corpus-scale groups use the sketch path or the
+      t-digest machinery (`functions/tdigest.py`). The exact
+      interpolated definition matches DuckDB's ``quantile_cont``, so
+      this path is hash-oracle-able (values rounded to 4 decimals:
+      same rationals, same IEEE interpolation, same rounding).
+
+    Null values are excluded by both engines' percentile semantics;
+    groups with no non-null values produce null quantiles.
+    """
+    if not qs:
+        raise ValueError("group_quantiles: qs must be non-empty")
+    if any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError("group_quantiles: quantiles must be in [0, 1]")
+    qlist = ", ".join(repr(float(q)) for q in qs)
+    if exact:
+        agg = F.expr(f"percentile({value_col}, array({qlist}))")
+    else:
+        agg = F.expr(
+            f"approx_percentile({value_col}, array({qlist}), {accuracy})"
+        ).cast("array<double>")
+    rolled = df.groupBy(F.col(group_col).alias("group")).agg(
+        agg.alias("_v")
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(float(q)) for q in qs]).alias("q"),
+        F.col("_v").alias("value"),
+    )
+    return rolled.select(
+        "group", F.explode(pairs).alias("_p")
+    ).select(
+        "group",
+        F.col("_p.q").alias("q"),
+        F.round(F.col("_p.value"), 4).alias("value"),
+    )

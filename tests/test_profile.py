@@ -213,3 +213,66 @@ def test_corpus_report_all_null_text(spark):
     assert r["n_distinct_texts"] == 0
     assert r["exact_dup_bp"] is None  # no text docs: rate undefined
     assert r["total_tokens"] == 0
+
+
+# ---------------------------------------------------------------------------
+# group_quantiles
+
+
+def test_group_quantiles_exact_hand_computed(spark):
+    from py_schemax_spark.operators.profile import group_quantiles
+
+    df = spark.createDataFrame(
+        [("a", v) for v in (10, 20, 30, 40)] + [("b", 5)],
+        "lang string, n long",
+    )
+    got = {
+        (r["group"], r["q"]): r["value"]
+        for r in group_quantiles(
+            df, "lang", "n", qs=(0.5, 1.0), exact=True
+        ).collect()
+    }
+    assert got[("a", 0.5)] == 25.0  # interpolated median of 10..40
+    assert got[("a", 1.0)] == 40.0
+    assert got[("b", 0.5)] == 5.0
+
+
+def test_group_quantiles_null_values_and_groups(spark):
+    from py_schemax_spark.operators.profile import group_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), (None, 7)], "lang string, n long"
+    )
+    got = {
+        (r["group"], r["q"]): r["value"]
+        for r in group_quantiles(
+            df, "lang", "n", qs=(0.5,), exact=True
+        ).collect()
+    }
+    assert got[("a", 0.5)] == 1.0  # null value excluded
+    assert got[(None, 0.5)] == 7.0  # null group is a group
+
+
+def test_group_quantiles_approx_brackets_exact(spark):
+    from py_schemax_spark.operators.profile import group_quantiles
+
+    df = spark.createDataFrame(
+        [("a", v) for v in range(1000)], "lang string, n long"
+    )
+    approx = {
+        r["q"]: r["value"]
+        for r in group_quantiles(df, "lang", "n", qs=(0.5,)).collect()
+    }
+    assert 480 <= approx[0.5] <= 520
+
+
+def test_group_quantiles_validation(spark):
+    from py_schemax_spark.operators.profile import group_quantiles
+
+    df = spark.createDataFrame([("a", 1)], "lang string, n long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        group_quantiles(df, "lang", "n", qs=())
+    with _pytest.raises(ValueError):
+        group_quantiles(df, "lang", "n", qs=(1.5,))
