@@ -117,3 +117,15 @@ def test_partitioning_invariance(spark):
 def test_empty_steps_validation(spark):
     with pytest.raises(ValueError):
         funnel_stages(_df(spark, []), ())
+
+
+def test_funnel_single_user_exchange(spark):
+    rows = [(1, _ts(1), 1, "view")]
+    df = _df(spark, rows)
+    plan = (
+        funnel_stages(df, STEPS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # ONE hash exchange (the user groupBy); no join, no window
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "Window" not in plan
