@@ -158,13 +158,6 @@ def q_stats(spark, sf_dir):
     return column_stats(_docs(spark, sf_dir), DOCS_SPEC, exact_distinct=True)
 
 
-def q_stats_salted(spark, sf_dir):
-    """V1 salted two-phase variant (HLL sketch-union merge) — distinct
-    metric is approximate, so this entry is rows-only; parity with the
-    plain pass is asserted in tests/test_operators.py."""
-    return column_stats(_docs(spark, sf_dir), DOCS_SPEC, salt=8)
-
-
 def q_stats_salted_exact(spark, sf_dir):
     """The salted two-phase production stats path, ORACLED on its
     exact metrics: every metric except the HLL `distinct` estimate
@@ -295,19 +288,6 @@ def q_dedup_keep_first(spark, sf_dir):
         .select("row_id")
 
 
-def q_domain_stats(spark, sf_dir):
-    """Web-corpus domain analysis: pages per domain, total text volume,
-    distinct languages — pure groupBy over a regexp-extracted domain
-    (a partition-prunable dimension in a real crawl layout)."""
-    pages = pages_from_documents(spark, sf_dir)
-    dom = F.regexp_extract("url", r"^https?://([^/]+)", 1)
-    return pages.groupBy(dom.alias("domain")).agg(
-        F.count(F.lit(1)).alias("n_pages"),
-        F.sum(F.length("text")).cast("long").alias("total_chars"),
-        F.count_distinct("lang").alias("n_langs"),
-    )
-
-
 def q_quality_topk_per_lang(spark, sf_dir):
     """Training-data curation: keep the top-5 documents per language by
     an integer-exact quality metric (stopword density in basis points,
@@ -355,7 +335,8 @@ def q_quantiles(spark, sf_dir):
 
 def q_drift_buckets(spark, sf_dir):
     """Exact drift histogram (fixed-width buckets of n_chars) — the
-    SQL-checkable companion of the t-digest PSI/KS path (q_drift_psi)."""
+    SQL-checkable companion of the t-digest PSI/KS sketch path
+    (pytested in test_drift.py; accuracy-gated by drift_grid_accuracy)."""
     return (
         _docs(spark, sf_dir)
         .groupBy(F.floor(F.col("n_chars") / 50).cast("long").alias("bucket"))
@@ -402,29 +383,6 @@ def q_drift_grid_accuracy(spark, sf_dir):
                         round(rank_le, 6)))
     return spark.createDataFrame(
         bad, "q double, value double, rank_lt double, rank_le double"
-    )
-
-
-def q_drift_psi(spark, sf_dir):
-    """t-digest drift verdicts (rows-only: sketch estimates are
-    engine-specific): baseline from even doc_ids, current = odd ids —
-    same distribution, must NOT drift."""
-    docs = _docs(spark, sf_dir)
-    base = build_baseline(
-        docs.filter(F.col("doc_id") % 2 == 0)
-        .withColumnRenamed("text", "tt")
-        .select(F.col("tt").alias("text")),
-        PAGES_SPEC,
-    )
-    verdicts = drift_verdicts(
-        docs.filter(F.col("doc_id") % 2 == 1), PAGES_SPEC, base
-    )
-    return spark.createDataFrame(
-        [
-            (v["column"], float(v["psi"]), float(v["ks"]), bool(v["drifted"]))
-            for v in verdicts
-        ],
-        "column string, psi double, ks double, drifted boolean",
     )
 
 
@@ -486,107 +444,6 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
-def q_revenue_by_nation(spark, sf_dir):
-    """Join pipeline: lineitem ⋈ supplier ⋈ nation (dims broadcast),
-    revenue per nation in exact cents·bp."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    price_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_bp = F.round(F.col("l_discount") * 100).cast("long")
-    return (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
-        .groupBy("n_name")
-        .agg(F.sum(price_cents * (100 - disc_bp)).alias("revenue_cents_bp"))
-        .orderBy("n_name")
-    )
-
-
-def q_top_event_by_user(spark, sf_dir):
-    """Window operator: each user's most frequent event_type
-    (deterministic tie-break on event_type)."""
-    from pyspark.sql import Window
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    counts = ev.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("cnt").desc(), F.col("event_type").asc()
-    )
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", "cnt")
-    )
-
-
-def q_hourly_events(spark, sf_dir):
-    """Event-time windowed aggregation (batch twin of the streaming
-    windowed-violation-counts operator): events per hour per type."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (
-        ev.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"),
-                          "yyyy-MM-dd HH:00").alias("hour"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.count_distinct("user_id").alias("n_users"),
-        )
-    )
-
-
-def q_orders_by_nation_segment(spark, sf_dir):
-    """Shuffle join (both sides large → sort-merge/shuffled-hash, AQE
-    decides) + multi-key aggregation: order counts per customer
-    nation."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    return (
-        orders.join(cust.hint("shuffle_merge"),
-                    orders.o_custkey == cust.c_custkey)
-        .groupBy("c_nationkey", "o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
-                "total_cents"
-            ),
-        )
-    )
-
-
-def q_top_orders(spark, sf_dir):
-    """Global top-k (TopK sort pushdown): 10 largest orders,
-    deterministic tie-break on key."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return (
-        orders.select(
-            "o_orderkey",
-            F.round(F.col("o_totalprice") * 100).cast("long").alias(
-                "total_cents"
-            ),
-        )
-        .orderBy(F.col("total_cents").desc(), F.col("o_orderkey").asc())
-        .limit(10)
-    )
-
-
-def q_top_tokens(spark, sf_dir):
-    """explode + groupBy + top-k: 20 most frequent tokens across the
-    corpus (deterministic tie-break on token)."""
-    d = _docs(spark, sf_dir)
-    return (
-        d.select(F.explode(tokens(F.col("text"))).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("token").asc())
-        .limit(20)
-    )
-
-
 def q_token_counts(spark, sf_dir):
     """Text analysis: whitespace token count + BPE-ish estimate."""
     d = _docs(spark, sf_dir)
@@ -595,57 +452,6 @@ def q_token_counts(spark, sf_dir):
         token_count(F.col("text")).alias("n_tokens"),
         F.length("text").alias("n_chars_actual"),
         bpe_token_estimate(F.col("text")).cast("long").alias("n_bpe_est"),
-    )
-
-
-def q_stopword_bp(spark, sf_dir):
-    """Quality scoring: stopword ratio in basis points (integer-exact
-    floor so FP rounding can't diverge from the oracle)."""
-    from py_schemax_spark.operators.textstats import stopword_hits
-
-    d = _docs(spark, sf_dir)
-    lc = F.lower(F.col("text"))
-    hits = stopword_hits(lc, ["the", "a", "and", "of", "to"])
-    n = token_count(lc)
-    return d.select(
-        "doc_id",
-        F.floor(hits * 10000 / n).cast("long").alias("stopword_bp"),
-        hits.alias("sw_hits"),
-        n.alias("n_tokens"),
-    )
-
-
-def q_sessions(spark, sf_dir):
-    """Gap-based sessionization (lag + cumulative-sum window chain):
-    a new session starts after a >30 min gap; per-user session and
-    event counts."""
-    from pyspark.sql import Window
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    return (
-        ev.withColumn("new_s", new_s)
-        .groupBy("user_id")
-        .agg(
-            F.sum("new_s").cast("long").alias("n_sessions"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-    )
-
-
-def q_punct_bp(spark, sf_dir):
-    """Quality scoring companion: punctuation density in basis points
-    (integer-exact floor)."""
-    d = _docs(spark, sf_dir)
-    n = F.length("text")
-    p = n - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))
-    return d.select(
-        "doc_id",
-        F.floor(p * 10000 / n).cast("long").alias("punct_bp"),
-        p.alias("n_punct"),
-        n.alias("n_chars_actual"),
     )
 
 
@@ -662,18 +468,6 @@ def q_lang_id(spark, sf_dir):
     same marker lists (generated from one shared dict)."""
     d = _docs(spark, sf_dir)
     return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
-
-
-def q_ann_pairs(spark, sf_dir):
-    """Embedding near-dup: all pairs with cosine ≥ 0.25, floor-scaled
-    to integer hundredths so oracle FP summation order can't diverge."""
-    from py_schemax_spark.operators.similarity import all_pairs_above_np
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return all_pairs_above_np(emb, threshold=0.25).select(
-        "key_a", "key_b",
-        F.floor(F.col("sim") * 100).cast("long").alias("sim_c"),
-    )
 
 
 def q_ann_pairs_blocked(spark, sf_dir):
@@ -701,46 +495,6 @@ def q_ann_topk(spark, sf_dir):
     return brute_force_topk(emb, queries, k=10)
 
 
-def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate top-k (rows-only; recall vs brute force
-    asserted in pytest)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return lsh_topk(emb, queries, dim=64, k=10, n_planes=8)
-
-
-def q_ann_ivf(spark, sf_dir):
-    """IVF approximate top-k (rows-only; recall vs brute force asserted
-    in pytest — nprobe=n_lists degenerates to exact)."""
-    from py_schemax_spark.operators.similarity import ivf_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return ivf_topk(emb, queries, dim=64, k=10, n_lists=16, nprobe=4)
-
-
-def q_ann_pq(spark, sf_dir):
-    """Product-quantization ADC top-k in its realistic regime (m=8
-    subspaces, 32 codes each → a 64-dim float vector scores from 8
-    table gathers over an index ~30× smaller than the raw floats).
-    Rows-only; the planted-twin retrieval + codebook determinism are
-    pytested and `ann_pq_exact` is the hash gate."""
-    from py_schemax_spark.operators.similarity import pq_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
-        F.col("embedding").isNotNull()
-    )
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return pq_topk(emb, queries, dim=64, k=10, m=8, n_codes=32,
-                   sample=4096, iters=3)
-
-
 def q_ann_pq_exact(spark, sf_dir):
     """PQ in its EXACT regime (m=1, n_codes = corpus size, iters=0 →
     the codebook IS the corpus, every vector reconstructs exactly, and
@@ -761,24 +515,6 @@ def q_ann_pq_exact(spark, sf_dir):
     n = emb.count()
     return pq_topk(emb, queries, dim=64, k=10, m=1, n_codes=n,
                    sample=n, iters=0)
-
-
-def q_ann_ivfpq(spark, sf_dir):
-    """IVF+PQ (the production faiss-style architecture: coarse lists
-    prune WHICH vectors score, residual PQ codes shrink WHAT a score
-    reads). Rows-only; planted-twin retrieval pytested and
-    `ann_ivfpq_exact` is the hash gate."""
-    from py_schemax_spark.operators.similarity import ivfpq_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
-        F.col("embedding").isNotNull()
-    )
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return ivfpq_topk(emb, queries, dim=64, k=10, n_lists=8, nprobe=2,
-                      m=8, n_codes=32, sample=4096, iters_kmeans=1,
-                      iters_pq=3)
 
 
 def q_ann_ivfpq_exact(spark, sf_dir):
@@ -846,19 +582,6 @@ def q_ann_lsh_containment(spark, sf_dir):
     return expected.join(cand, ["query_id", "vec_id"], "left_anti")
 
 
-def q_minhash_candidates(spark, sf_dir):
-    """MinHash+LSH near-dup candidates over the dup-injected corpus
-    (rows-only; exact-dup pairs MUST appear — asserted in pytest).
-
-    Band geometry (4 bands × 16 rows) is tuned HIGH-precision: the
-    synthetic texts share a tiny vocabulary, so inter-doc shingle
-    Jaccard is large and shallow bands would flood candidates."""
-    return minhash_lsh_candidates(
-        _dup_injected(spark, sf_dir), text_col="text", key_col="row_id",
-        num_hashes=64, bands=4,
-    )
-
-
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard on a SQL-expressible candidate set (pairs
     within a deterministic doc_id//10 bucket of the dup-injected
@@ -884,18 +607,6 @@ def q_ngram_jaccard(spark, sf_dir):
         F.floor(F.col("n_inter") * 10000 / F.col("n_union"))
         .cast("long").alias("jaccard_bp"),
     )
-
-
-def q_ngram_jaccard_lsh(spark, sf_dir):
-    """n-gram Jaccard verification of minhash LSH candidates (the
-    production pipeline shape; rows-only — the candidate set is not
-    SQL-expressible)."""
-    dup = _dup_injected(spark, sf_dir)
-    cand = minhash_lsh_candidates(
-        dup, text_col="text", key_col="row_id", num_hashes=64, bands=4
-    ).select("key_a", "key_b")
-    return ngram_jaccard_pairs(dup, cand, text_col="text", key_col="row_id",
-                               threshold=0.8)
 
 
 def q_minhash_containment(spark, sf_dir):
@@ -940,14 +651,6 @@ def q_simhash(spark, sf_dir):
         F.col("k").alias("doc_id"),
         simhash_hex_packed(F.col("fpl")).alias("simhash"),
     )
-
-
-def q_image_meta(spark, sf_dir):
-    """Multimodal plumbing: binary payload → typed metadata via
-    mapInPandas (html payloads are not images → deterministic fake
-    decode; rows-only)."""
-    pages = pages_from_documents(spark, sf_dir)
-    return image_metadata(pages, key_col="url", payload_col="html")
 
 
 def q_tz_conformance(spark, sf_dir):
@@ -1036,18 +739,6 @@ def q_audio_meta(spark, sf_dir):
         "channels", "sample_rate", "bits", "n_frames", "duration_ms",
         "peak_abs", "mean_abs_x100",
     )
-
-
-def q_image_resize(spark, sf_dir):
-    """Multimodal resize plumbing: binary payload → decoded (stubbed
-    deterministic fake) → nearest-neighbor 8×8 downsample → pixel
-    bytes; rows-only (engine-internal bytes), the Spark-side schema /
-    batching / vectorized-resize shape is the real contract."""
-    from py_schemax_spark.operators.multimodal import resize_images
-
-    pages = pages_from_documents(spark, sf_dir)
-    return resize_images(pages, target=(8, 8), key_col="url",
-                         payload_col="html")
 
 
 def q_frame_sample(spark, sf_dir):
@@ -1984,7 +1675,7 @@ def q_corpus_mix(spark, sf_dir):
 def q_drift_ks(spark, sf_dir):
     """Exact two-sample KS statistic (basis points) between the even-
     and odd-doc_id halves of the corpus over n_chars — the integer-
-    exact companion the t-digest KS estimate (q_drift_psi) is judged
+    exact companion the t-digest KS estimate (test_drift.py) is judged
     against. Per-value aggregation with map-side combine before the
     one CDF window (distinct n_chars values, not rows)."""
     from py_schemax_spark.operators.integrity import exact_ks_2samp
@@ -2755,106 +2446,166 @@ def q_group_quantiles(spark, sf_dir):
     )
 
 
+# --- curate_e2e plant constants (shared VERBATIM with the oracle;
+# plain printable ASCII without quotes so they splice into SQL string
+# literals directly) ---------------------------------------------------------
+_CUR_HDR = "NAVIGATION MENU HOME"
+_CUR_FTR = "COPYRIGHT FOOTER NOTICE"
+_CUR_SENT = " It is a good page. It is a fine page. It is the best page."
+def _curate_planted(spark, sf_dir):
+    """Deterministic curation corpus: every doc gets a boilerplate
+    header/footer line (line-dedup fodder once they recur in ≥30
+    surviving docs) and a 3-sentence suffix (C4 needs sentences; the
+    raw corpus text has none). Plant classes make each stage
+    discriminative: doc_id%8==7 copies the doc_id-4 partner's body
+    (exact-dedup pairs — same %4 class, so partners share every
+    content-level verdict, and REAL corpus text, so their DSIR score
+    is typical; a planted out-of-domain passage scored below every
+    genuine doc and could never reach the dedup stage); doc_id%4==1
+    appends two ellipsis lines (Gopher ellipsis_bp fail); doc_id%4==2
+    appends ' lorem ipsum' (C4 fail); word-count pass/fail falls out
+    of the natural 10-99-word length spread (+24 planted words vs the
+    ≥50 Gopher floor). URLs reuse the q_robots path planting so the
+    robots stage drops its closed-form subset."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    partner = d.select(
+        (F.col("doc_id") + 4).alias("doc_id"),
+        F.col("text").alias("_ptext"),
+    )
+    d = d.join(partner, "doc_id", "left")
+    src_text = F.when(
+        (did % 8 == 7) & F.col("_ptext").isNotNull(), F.col("_ptext")
+    ).otherwise(F.col("text"))
+    content = F.concat(src_text, F.lit(_CUR_SENT))
+    body = (
+        F.when(did % 4 == 1,
+               F.concat(content, F.lit("\nloading...\nread more...")))
+        .when(did % 4 == 2, F.concat(content, F.lit(" lorem ipsum")))
+        .otherwise(content)
+    )
+    text = F.concat(
+        F.lit(_CUR_HDR + "\n"), body, F.lit("\n" + _CUR_FTR)
+    )
+    path = (
+        F.when(did % 5 == 0,
+               F.concat(F.lit("/private/"), did.cast("string")))
+        .when(did % 5 == 1,
+              F.concat(F.lit("/private/ok/"), did.cast("string")))
+        .when(did % 5 == 2,
+              F.concat(F.lit("/tmp/"), did.cast("string")))
+        .otherwise(F.concat(F.lit("/doc/"), did.cast("string")))
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org"), path
+    )
+    return d.select(
+        "doc_id", text.alias("text"), "lang", "source", "n_chars",
+        url.alias("url"),
+    )
+
+
+def q_curate_e2e(spark, sf_dir):
+    """The flagship curation journey as ONE hash-green row (VERDICT
+    r04 next-round #9): robots → quality (Gopher∧C4) → DSIR selection
+    → CCNet line dedup → exact keep-first dedup via `run_curation`,
+    then a training-shard plan over the survivors. Output is the final
+    survivor set ``(doc_id, n_units, offset, shard_id, final_md5)``
+    with ``final_md5`` the md5 of the fully-rewritten text — a bug in
+    ANY stage's filter, rewrite, model, or ordering breaks the hash.
+    The oracle recomputes the whole chain as chained CTEs (each
+    stage's already-proven SQL twin re-targeted at the previous
+    stage's survivor set)."""
+    from py_schemax_spark.curate import CurationConfig, run_curation
+    from py_schemax_spark.operators.robots import parse_robots
+    from py_schemax_spark.sources.shards import plan_shards
+
+    d = _curate_planted(spark, sf_dir)
+    # robots bodies: same planting as q_robots (closed-form verdicts)
+    src_num = F.regexp_extract("source", r"(\d+)$", 1).cast("int")
+    star_block = (
+        "User-agent: badbot\nDisallow: /\n\n# synthetic robots\n"
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+    )
+    robots = (
+        d.select("source").distinct()
+        .select(
+            F.concat(F.col("source"), F.lit(".example.org")).alias("domain"),
+            F.concat(
+                F.when(
+                    src_num % 7 == 3,
+                    F.lit("User-agent: mybot\nDisallow: /doc/\n\n"),
+                ).otherwise(F.lit("")),
+                F.lit(star_block),
+                F.when(src_num % 2 == 0, F.lit("Disallow: /tmp/\n"))
+                .otherwise(F.lit("")),
+            ).alias("robots_txt"),
+        )
+    )
+    target = d.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    cfg = CurationConfig(
+        key_col="doc_id", text_col="text", lang_col="lang",
+        url_col="url",
+        steps=("robots", "quality", "dsir", "lines", "exact_dedup"),
+        min_line_docs=30,
+        # lam units are ln×10^6 fixed point, so per-kterm scores land
+        # around ±10^8; -7×10^7 keeps ~65% of quality
+        # survivors incl. duplicate pairs for the dedup stage to
+        # collapse (measured at sf0.001 and sf0.01)
+        dsir_threshold_per_kterm=-70_000_000,
+        dsir_buckets=1024,
+    )
+    out, _rep = run_curation(
+        d, cfg,
+        robots_rules=parse_robots(robots, user_agent="mybot"),
+        dsir_target=target,
+        report=False,
+    )
+    sized = out.select(
+        "doc_id",
+        F.coalesce(
+            F.regexp_count(F.col("text"), F.lit(r"[^ \t\n\r\f]+")),
+            F.lit(0),
+        ).cast("long").alias("n_units"),
+        F.md5("text").alias("final_md5"),
+    )
+    plan = plan_shards(
+        sized, key_col="doc_id", size_col="n_units",
+        max_units_per_shard=40_000,
+    )
+    return plan.join(
+        sized.select("doc_id", "final_md5"), "doc_id"
+    ).select("doc_id", "n_units", "offset", "shard_id", "final_md5")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window covers the
-    queries that most need a fresh green row. Round 3's driver record
-    (`CORRECTNESS_r03.json`) captured only the FIRST 50 entries, so the
-    22 round-3 curation queries had no driver-recorded correctness row
-    (VERDICT round 3, "Next round #2"). Block 0 = the round-4 integrity
-    /substring operators (newest, no driver row yet); block 1 = the 22
-    round-3 curation queries; block 2 = the core §2 validation/dedup/
-    ANN/text queries; block 3 (positions 51+, outside the window) =
-    rows-only variants whose oracled containment twins sit in blocks
-    0-2, plus queries with 2-3 rounds of recorded green history
-    (`passage_dedup`, `token_counts`, `lang_id`, `fingerprint`,
-    `dedup_keep_first`, `exact_dedup`, `ngram_jaccard`, `ann_topk`,
-    `minhash_containment`, `ann_pairs`, `drift_buckets` rotated down
-    in round 4 — each green in BOTH the r02 and r03 driver
-    records)."""
+    queries that most need a fresh record. Round-5 policy (VERDICT r04
+    next-round #1): (a) the steady-state set is CONSOLIDATED to ~106
+    entries — redundant demo/variant queries folded into their kept
+    twins (relational demos -> `pricing_summary`; `ann_pairs` ->
+    `ann_pairs_blocked`; `image_meta`/`image_resize` ->
+    `image_meta_ppm` + pytests; rows-only ANN variants `ann_lsh`/
+    `ann_ivf`/`ann_pq`/`ann_ivfpq` -> their oracled containment/exact
+    twins + recall pytests; `minhash_candidates`/`ngram_jaccard_lsh`
+    -> `minhash_containment`/`ngram_jaccard`; `stats_salted` ->
+    `stats_salted_exact`; `drift_psi` -> `drift_buckets`/`drift_ks`;
+    `hourly_events`/`top_event_by_user`/`sessions`/`domain_stats`/
+    `top_tokens`/`stopword_bp`/`punct_bp` -> the sessionize/funnel/
+    retention/corpus_report/vocab_stats/quality family) so the whole
+    set fits ~2 windows; (b) the window leads with `curate_e2e` (the
+    new flagship chain) followed by the 26-minus-consolidated queries
+    that had NO driver record across r01-r04 (positions 51-76 last
+    round), then queries TOUCHED by round-5 changes (Bloom rebuild,
+    MG batch merge, ANN guards, CC byte gate, cardinality persist,
+    manifest int extrema) plus the §2-core validation set. Block 2
+    (below the boundary) = everything with driver-green history,
+    each green in >=1 of the r01-r04 driver records or twinned
+    above."""
     return {
-        # -- block -6: round-4 wave-11 operators (newest first) --
-        "ann_ivfpq_exact": q_ann_ivfpq_exact,
-        "ann_pq_exact": q_ann_pq_exact,
-        "audio_meta": q_audio_meta,
-        # -- block -5: round-4 wave-10 operators --
-        "robots": q_robots,
-        "domain_blocklist": q_domain_blocklist,
-        # -- block -4: round-4 wave-9 operators --
-        "domain_graph": q_domain_graph,
-        "pagerank": q_pagerank,
-        # -- block -3: round-4 wave-8 operators --
-        "text_classifier": q_text_classifier,
-        "classifier_eval": q_classifier_eval,
-        # -- block -2: round-4 wave-7 operators --
-        "benford": q_benford,
-        "dup_rate": q_dup_rate,
-        "canonical_dedup": q_canonical_dedup,
-        "row_diff": q_row_diff,
-        # -- block -1: round-4 session-2 operators --
-        "approx_heavy_hitters": q_approx_heavy_hitters,
-        "domain_cap": q_domain_cap,
-        "bloom_decontam": q_bloom_decontam,
-        "mojibake": q_mojibake,
-        "vocab_stats": q_vocab_stats,
-        "script_profile": q_script_profile,
-        # -- block 0: round-4 integrity + substring operators --
-        "drift_ks": q_drift_ks,
-        "monotonicity": q_monotonicity,
-        "volume_anomaly": q_volume_anomaly,
-        "fd_check": q_fd_check,
-        "substring_dedup": q_substring_dedup,
-        "categorical_tv": q_categorical_tv,
-        "heavy_hitters": q_heavy_hitters,
-        "mad_outliers": q_mad_outliers,
-        "conditional_checks": q_conditional_checks,
-        "sequence_gaps": q_sequence_gaps,
-        "snapshot_reconcile": q_snapshot_reconcile,
-        # -- block 1: round-3 curation operators (no r03 driver row) --
-        "pii_scan": q_pii_scan,
-        "dedup_clusters": q_dedup_clusters,
-        "asof_purchase": q_asof_purchase,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "decontam": q_decontam,
-        "line_dedup": q_line_dedup,
-        "sessionize": q_sessionize,
-        "chunk_documents": q_chunk_documents,
-        "pack_chunks": q_pack_chunks,
-        "keywords": q_keywords,
-        "html_profile": q_html_profile,
-        "unigram_logprob": q_unigram_logprob,
-        "url_features": q_url_features,
-        "gopher_quality": q_gopher_quality,
-        "c4_filters": q_c4_filters,
-        "normalize": q_normalize,
-        "url_blocklist": q_url_blocklist,
-        "corpus_mix": q_corpus_mix,
-        "ccnet_buckets": q_ccnet_buckets,
-        # -- block 2: core validation / dedup / ANN / text (§2) --
-        # ---- 50-entry window boundary (driver records up to here;
-        # `stats_salted_exact`/`row_violations` rotated below in wave
-        # 10 to make room for `robots`/`domain_blocklist` — both green
-        # in the r02 AND r03 driver records; `semdedup` (rows-only BY
-        # DESIGN — float k-means; its hash-green gate is
-        # `semdedup_containment`, still in-window) rotated below in
-        # wave 11 for `audio_meta`; `stats` (green in r01+r02+r03
-        # driver records, the longest history of any query) and
-        # `semdedup_containment` (empty-set gate, planted-twin
-        # collapse also pytested) rotated below in waves 11b/11c for
-        # `ann_pq_exact`/`ann_ivfpq_exact` so every round-3 curation
-        # query incl. `ccnet_buckets` keeps its first-record slot;
-        # every entry below has a driver-green r03 row — or an oracled
-        # containment twin above — and rotated out per the r03-verdict
-        # policy to make room for new queries at the top;
-        # `uniqueness`/`extraction` rotated below in wave 8 and
-        # `referential`/`referential_large_dim` in wave 9 — each green
-        # in BOTH the r02 and r03 driver records) ----
-        # wave-12 `html_meta` sits first BELOW the boundary: every
-        # in-window slot is taken by a query still owed its FIRST
-        # driver record (the 22 round-3 curation queries per the r03
-        # verdict + earlier round-4 waves); html_meta is hash-green in
-        # the local sweep (tools/check_parity.py) and pytested
-        # wave-13 queries sit below the boundary for the same reason
+        # ---- window block A: the flagship chain + every query owed
+        # its FIRST driver record (r04 verdict #1/#9) ----
+        "curate_e2e": q_curate_e2e,
         "dsir": q_dsir,
         "main_content": q_main_content,
         "shard_plan": q_shard_plan,
@@ -2877,65 +2628,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "anchors": q_anchors,
         "lang_agreement": q_lang_agreement,
-        "stats": q_stats,
         "semdedup": q_semdedup,
         "semdedup_containment": q_semdedup_containment,
-        "ann_pq": q_ann_pq,
-        "ann_ivfpq": q_ann_ivfpq,
+        # ---- window block B: queries touched by round-5 changes +
+        # the §2-core validation set (fresh confirmation after the
+        # Bloom/MG/ANN/CC/cardinality/manifest edits) ----
+        "bloom_decontam": q_bloom_decontam,
+        "approx_heavy_hitters": q_approx_heavy_hitters,
+        "heavy_hitters": q_heavy_hitters,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_topk": q_ann_topk,
+        "ann_pairs_blocked": q_ann_pairs_blocked,
+        "ann_lsh_containment": q_ann_lsh_containment,
+        "ann_ivf_exact": q_ann_ivf_exact,
+        "ann_pq_exact": q_ann_pq_exact,
+        "ann_ivfpq_exact": q_ann_ivfpq_exact,
+        "minhash_containment": q_minhash_containment,
+        "line_dedup": q_line_dedup,
+        "exact_dedup": q_exact_dedup,
+        "decontam": q_decontam,
+        "stats": q_stats,
         "stats_salted_exact": q_stats_salted_exact,
         "row_violations": q_row_violations,
         "referential": q_referential,
         "referential_large_dim": q_referential_large_dim,
         "uniqueness": q_uniqueness,
         "extraction": q_extraction,
+        "quantiles": q_quantiles,
+        "drift_ks": q_drift_ks,
+        "sessionize": q_sessionize,
+        "ngram_jaccard": q_ngram_jaccard,
+        # ---- 50-entry window boundary ----
+        # every entry below has >=1 green row in the r01-r04 driver
+        # records (verify by unioning CORRECTNESS_r01-r04.json), or is
+        # a rows-only variant whose oracled twin sits above
+        "audio_meta": q_audio_meta,
+        "robots": q_robots,
+        "domain_blocklist": q_domain_blocklist,
+        "domain_graph": q_domain_graph,
+        "pagerank": q_pagerank,
+        "text_classifier": q_text_classifier,
+        "classifier_eval": q_classifier_eval,
+        "benford": q_benford,
+        "dup_rate": q_dup_rate,
+        "canonical_dedup": q_canonical_dedup,
+        "row_diff": q_row_diff,
+        "domain_cap": q_domain_cap,
+        "mojibake": q_mojibake,
+        "vocab_stats": q_vocab_stats,
+        "script_profile": q_script_profile,
+        "monotonicity": q_monotonicity,
+        "volume_anomaly": q_volume_anomaly,
+        "fd_check": q_fd_check,
+        "substring_dedup": q_substring_dedup,
+        "categorical_tv": q_categorical_tv,
+        "mad_outliers": q_mad_outliers,
+        "conditional_checks": q_conditional_checks,
+        "sequence_gaps": q_sequence_gaps,
+        "snapshot_reconcile": q_snapshot_reconcile,
+        "pii_scan": q_pii_scan,
+        "asof_purchase": q_asof_purchase,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "chunk_documents": q_chunk_documents,
+        "pack_chunks": q_pack_chunks,
+        "keywords": q_keywords,
+        "html_profile": q_html_profile,
+        "unigram_logprob": q_unigram_logprob,
+        "url_features": q_url_features,
+        "gopher_quality": q_gopher_quality,
+        "c4_filters": q_c4_filters,
+        "normalize": q_normalize,
+        "url_blocklist": q_url_blocklist,
+        "corpus_mix": q_corpus_mix,
+        "ccnet_buckets": q_ccnet_buckets,
         "pages_violations": q_pages_violations,
         "datetime_conformance": q_datetime_conformance,
         "tz_conformance": q_tz_conformance,
-        "quantiles": q_quantiles,
         "drift_grid_accuracy": q_drift_grid_accuracy,
         "simhash": q_simhash,
-        # -- block 3: rows-only variants (oracled twins above) and
-        #    queries with multi-round green history (the four rotated
-        #    below in round-4 session 2 — ann_lsh_containment,
-        #    ann_ivf_exact, repetition_profile, image_meta_ppm — are
-        #    each green in the r03 driver record) --
-        "ann_lsh_containment": q_ann_lsh_containment,
-        "ann_ivf_exact": q_ann_ivf_exact,
         "repetition_profile": q_repetition_profile,
         "image_meta_ppm": q_image_meta_ppm,
         "passage_dedup": q_passage_dedup,
         "dedup_keep_first": q_dedup_keep_first,
-        "exact_dedup": q_exact_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_topk": q_ann_topk,
-        "minhash_containment": q_minhash_containment,
-        "ann_pairs": q_ann_pairs,
-        "drift_buckets": q_drift_buckets,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
-        "stats_salted": q_stats_salted,
-        "drift_psi": q_drift_psi,
-        "minhash_candidates": q_minhash_candidates,
-        "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
-        "ann_pairs_blocked": q_ann_pairs_blocked,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "image_meta": q_image_meta,
-        "image_resize": q_image_resize,
+        "drift_buckets": q_drift_buckets,
         "frame_sample": q_frame_sample,
-        "domain_stats": q_domain_stats,
         "quality_topk_per_lang": q_quality_topk_per_lang,
-        "stopword_bp": q_stopword_bp,
-        "punct_bp": q_punct_bp,
-        "top_tokens": q_top_tokens,
-        "hourly_events": q_hourly_events,
-        "sessions": q_sessions,
-        "top_event_by_user": q_top_event_by_user,
         "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "orders_by_nation_segment": q_orders_by_nation_segment,
-        "top_orders": q_top_orders,
     }
 
 
@@ -3144,14 +2926,6 @@ SELECT row_id FROM (
 ) WHERE rn = 1
 """
 
-    domain_stats_sql = f"""
-WITH {PAGES_SQL_CTE.strip()}
-SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
-       count(*) AS n_pages,
-       CAST(sum(length(text)) AS BIGINT) AS total_chars,
-       count(DISTINCT lang) AS n_langs
-FROM pages GROUP BY 1
-"""
 
     quality_topk_sql = r"""
 SELECT lang, doc_id, quality_bp, rank FROM (
@@ -3187,59 +2961,11 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
 
-    revenue_nation_sql = """
-SELECT n_name,
-       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
-         AS revenue_cents_bp
-FROM lineitem
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation ON s_nationkey = n_nationkey
-GROUP BY n_name ORDER BY n_name
-"""
 
-    top_event_sql = """
-SELECT user_id, event_type, cnt FROM (
-  SELECT user_id, event_type, count(*) AS cnt,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY count(*) DESC, event_type ASC) AS rn
-  FROM events GROUP BY user_id, event_type
-) WHERE rn = 1
-"""
 
-    hourly_events_sql = """
-SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
-       event_type,
-       count(*) AS n_events,
-       count(DISTINCT user_id) AS n_users
-FROM events GROUP BY 1, 2
-"""
 
-    orders_nation_sql = """
-SELECT c_nationkey, o_orderstatus,
-       count(*) AS n_orders,
-       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-         AS total_cents
-FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY c_nationkey, o_orderstatus
-"""
 
-    top_orders_sql = """
-SELECT o_orderkey,
-       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
-FROM orders
-ORDER BY total_cents DESC, o_orderkey ASC
-LIMIT 10
-"""
 
-    top_tokens_sql = r"""
-SELECT token, count(*) AS cnt
-FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
-      FROM documents)
-GROUP BY token
-ORDER BY cnt DESC, token ASC
-LIMIT 20
-"""
 
     token_counts_sql = r"""
 SELECT doc_id,
@@ -3252,46 +2978,8 @@ SELECT doc_id,
 FROM documents
 """
 
-    stopword_sql = r"""
-SELECT doc_id,
-       CAST(floor(sw_hits * 10000 / n_tokens) AS BIGINT) AS stopword_bp,
-       sw_hits, n_tokens
-FROM (
-  SELECT doc_id,
-         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-             x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS sw_hits,
-         len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
-  FROM documents
-)
-"""
 
-    sessions_sql = """
-WITH g AS (
-  SELECT user_id,
-         -- floor(epoch()) matches Spark's whole-second unix_timestamp
-         -- truncation: DuckDB epoch(ts) is DOUBLE with fractional
-         -- seconds, so a gap landing in (1799,1801)s would otherwise
-         -- disagree across engines (ADVICE r1)
-         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER
-                     (PARTITION BY user_id ORDER BY ts))) > 1800
-              THEN 1 ELSE 0 END AS new_s
-  FROM events
-)
-SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
-       count(*) AS n_events
-FROM g GROUP BY user_id
-"""
 
-    punct_bp_sql = r"""
-SELECT doc_id,
-       CAST(floor((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
-                  * 10000 / length(text)) AS BIGINT) AS punct_bp,
-       length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
-         AS n_punct,
-       length(text) AS n_chars_actual
-FROM documents
-"""
 
     fingerprint_sql = f"""
 SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
@@ -4233,6 +3921,192 @@ SELECT doc_id,
 FROM raw
 """
 
+    # curate_e2e: the full curation chain as chained CTEs — each
+    # stage's proven SQL twin re-targeted at the previous stage's
+    # survivor set. planted → robots (closed-form verdicts) → quality
+    # (gopher ∧ c4 signals inline, null-free by construction so the
+    # coalesce guards collapse) → dsir (raw model over the quality
+    # SURVIVORS, target over the planted %7 slice — exactly
+    # dsir_weights(cur, target) in curate.run_curation) → line dedup
+    # (hot = lines in ≥50 distinct SURVIVING docs) → keep-first exact
+    # dedup on normalized text → shard-plan window.
+    curate_e2e_sql = f"""
+WITH src AS (
+  SELECT d.doc_id, d.source,
+         CASE WHEN d.doc_id % 8 = 7 AND p.text IS NOT NULL
+              THEN p.text ELSE d.text END AS text
+  FROM documents d
+  LEFT JOIN documents p ON p.doc_id = d.doc_id - 4
+),
+planted AS (
+  SELECT doc_id,
+         CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) AS src_num,
+         '{_CUR_HDR}' || chr(10) ||
+         CASE WHEN doc_id % 4 = 1 THEN text || '{_CUR_SENT}'
+                   || chr(10) || 'loading...'
+                   || chr(10) || 'read more...'
+              WHEN doc_id % 4 = 2 THEN text || '{_CUR_SENT}'
+                   || ' lorem ipsum'
+              ELSE text || '{_CUR_SENT}' END
+         || chr(10) || '{_CUR_FTR}' AS text
+  FROM src
+),
+after_robots AS (
+  SELECT doc_id, text FROM planted
+  WHERE NOT (CASE WHEN src_num % 7 = 3 THEN doc_id % 5 IN (3, 4)
+                  WHEN doc_id % 5 = 0 THEN TRUE
+                  WHEN doc_id % 5 = 2 THEN src_num % 2 = 0
+                  ELSE FALSE END)
+),
+graw AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '{_Q_WORD}')) AS n_words,
+         length(regexp_replace(text, '{_Q_WS}', '', 'g')) AS word_chars,
+         len(regexp_extract_all(text, '{_Q_SYM}')) AS n_symbols,
+         len(regexp_extract_all(text, '\\n')) + 1 AS n_lines,
+         len(regexp_extract_all(chr(10) || text || chr(10),
+                                '{_Q_BULLET}')) AS bullet_lines,
+         len(regexp_extract_all(chr(10) || text || chr(10),
+                                '{_Q_ELLIPSIS}')) AS ellipsis_lines,
+         len(regexp_extract_all(text, '{_Q_ALPHA}')) AS alpha_words,
+         len(list_filter(
+               string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f]+'),
+               x -> x IN ({_q_stop_list}))) AS stop_hits,
+         len(regexp_extract_all(text, '{_Q_SENT}')) AS n_sentences,
+         contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+         (contains(text, '{{') OR contains(text, '}}')) AS has_curly,
+         (len(regexp_extract_all(
+            ' ' || regexp_replace(trim(lower(text)),
+                                  '[ \\t\\n\\r\\f]+', '  ', 'g') || ' ',
+            ' javascript ')) > 0) AS has_javascript,
+         ({_q_bad_phrase}) AS has_bad_phrase
+  FROM after_robots
+),
+quality AS (
+  SELECT doc_id, text FROM graw
+  WHERE n_words BETWEEN 50 AND 100000
+    AND (word_chars * 100) // n_words BETWEEN 300 AND 1000
+    AND (n_symbols * 10000) // n_words <= 1000
+    AND (bullet_lines * 10000) // n_lines <= 9000
+    AND (ellipsis_lines * 10000) // n_lines <= 3000
+    AND (alpha_words * 10000) // n_words >= 8000
+    AND stop_hits >= 2
+    AND NOT has_lorem_ipsum AND NOT has_curly
+    AND NOT has_javascript AND NOT has_bad_phrase
+    AND n_sentences >= 3
+),
+dtok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'),
+                     x -> x <> '') AS toks
+  FROM quality
+),
+dterms AS (
+  SELECT doc_id,
+         unnest(list_concat(
+           toks,
+           [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+         )) AS term
+  FROM dtok
+),
+db AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(term), 1, 8))::UBIGINT % 1024
+              AS BIGINT) AS bucket
+  FROM dterms
+),
+rawh AS (SELECT bucket, COUNT(*) AS cnt FROM db GROUP BY bucket),
+ttok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'),
+                     x -> x <> '') AS toks
+  FROM planted WHERE doc_id % 7 = 0
+),
+tterms AS (
+  SELECT doc_id,
+         unnest(list_concat(
+           toks,
+           [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+         )) AS term
+  FROM ttok
+),
+tb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(term), 1, 8))::UBIGINT % 1024
+              AS BIGINT) AS bucket
+  FROM tterms
+),
+tgth AS (SELECT bucket, COUNT(*) AS cnt FROM tb GROUP BY bucket),
+tot AS (
+  SELECT (SELECT COALESCE(SUM(cnt), 0) FROM rawh) AS tr,
+         (SELECT COALESCE(SUM(cnt), 0) FROM tgth) AS tt
+),
+lam AS (
+  SELECT g.range AS bucket,
+         CAST(floor((ln(COALESCE(tg.cnt, 0) + 1) - ln(tt + 1024)
+                     - ln(COALESCE(r.cnt, 0) + 1) + ln(tr + 1024))
+                    * 1000000) AS BIGINT) AS lam
+  FROM range(1024) g
+  CROSS JOIN tot
+  LEFT JOIN rawh r ON r.bucket = g.range
+  LEFT JOIN tgth tg ON tg.bucket = g.range
+),
+dscore AS (
+  SELECT db.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(l.lam) AS BIGINT) AS score
+  FROM db JOIN lam l USING (bucket) GROUP BY db.doc_id
+),
+dsir AS (
+  SELECT q.doc_id, q.text
+  FROM quality q JOIN dscore s USING (doc_id)
+  WHERE s.n_terms > 0 AND s.score * 1000 >= -70000000 * s.n_terms
+),
+ln AS (
+  SELECT doc_id, i AS pos, l[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM dsir) b,
+       UNNEST(range(1, len(l) + 1)) AS u(i)
+),
+hot AS (
+  SELECT line FROM ln WHERE trim(line) <> ''
+  GROUP BY line HAVING count(DISTINCT doc_id) >= 30
+),
+cleaned AS (
+  SELECT ln.doc_id,
+         coalesce(
+           string_agg(ln.line, chr(10) ORDER BY ln.pos)
+             FILTER (WHERE hot.line IS NULL),
+           '') AS text
+  FROM ln LEFT JOIN hot USING (line)
+  GROUP BY ln.doc_id
+),
+dd AS (
+  SELECT doc_id, text,
+         row_number() OVER (
+           PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
+  FROM cleaned
+),
+final AS (SELECT doc_id, text FROM dd WHERE rn = 1),
+sz AS (
+  SELECT doc_id,
+         CAST(COALESCE(len(regexp_extract_all(text,
+                '[^ \\t\\n\\r\\f]+')), 0) AS BIGINT) AS n_units,
+         md5(text) AS final_md5
+  FROM final
+),
+cum AS (
+  SELECT doc_id, n_units, final_md5,
+         CAST(COALESCE(SUM(n_units) OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS "offset"
+  FROM sz
+)
+SELECT doc_id, n_units, "offset",
+       CAST("offset" // 40000 AS BIGINT) AS shard_id, final_md5
+FROM cum
+"""
+
     # domain blocklist induction: reuse the full gopher oracle as a
     # nested CTE (a wrong per-doc verdict OR a wrong aggregation both
     # break the hash); `//` = exact integral division like the
@@ -4892,8 +4766,10 @@ SELECT 'doc_id' AS "column", 'bigint' AS dtype,
        CAST(COUNT(doc_id) AS BIGINT) AS cnt,
        CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
             AS BIGINT) AS nulls,
-       CAST(MIN(doc_id) AS DOUBLE) AS min_num,
-       CAST(MAX(doc_id) AS DOUBLE) AS max_num,
+       CAST(MIN(doc_id) AS BIGINT) AS min_int,
+       CAST(MAX(doc_id) AS BIGINT) AS max_int,
+       CAST(NULL AS DOUBLE) AS min_num,
+       CAST(NULL AS DOUBLE) AS max_num,
        CAST(NULL AS VARCHAR) AS min_str,
        CAST(NULL AS VARCHAR) AS max_str
 FROM documents
@@ -4901,18 +4777,21 @@ UNION ALL
 SELECT 'n_chars', 'bigint', CAST(COUNT(n_chars) AS BIGINT),
        CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
             AS BIGINT),
-       CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE),
+       CAST(MIN(n_chars) AS BIGINT), CAST(MAX(n_chars) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        NULL, NULL
 FROM documents
 UNION ALL
 SELECT 'text', 'string', CAST(COUNT(text) AS BIGINT),
        CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        MIN(text), MAX(text)
 FROM documents
 UNION ALL
 SELECT 'lang', 'string', CAST(COUNT(lang) AS BIGINT),
        CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        MIN(lang), MAX(lang)
 FROM documents
@@ -4920,6 +4799,7 @@ UNION ALL
 SELECT 'source', 'string', CAST(COUNT(source) AS BIGINT),
        CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
             AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        MIN(source), MAX(source)
 FROM documents
@@ -5219,7 +5099,6 @@ FROM m
         "exact_dedup": exact_dedup_sql,
         "passage_dedup": passage_dedup_sql,
         "dedup_keep_first": dedup_keep_first_sql,
-        "domain_stats": domain_stats_sql,
         "quality_topk_per_lang": quality_topk_sql,
         "quantiles": quantiles_sql,
         "drift_buckets": drift_buckets_sql,
@@ -5231,16 +5110,7 @@ SELECT CAST(NULL AS DOUBLE) AS q, CAST(NULL AS DOUBLE) AS value,
 WHERE 1 = 0
 """,
         "pricing_summary": pricing_sql,
-        "revenue_by_nation": revenue_nation_sql,
-        "top_event_by_user": top_event_sql,
-        "hourly_events": hourly_events_sql,
-        "orders_by_nation_segment": orders_nation_sql,
-        "top_orders": top_orders_sql,
-        "top_tokens": top_tokens_sql,
         "token_counts": token_counts_sql,
-        "stopword_bp": stopword_sql,
-        "sessions": sessions_sql,
-        "punct_bp": punct_bp_sql,
         "fingerprint": fingerprint_sql,
         "ngram_jaccard": ngram_jaccard_sql,
         "minhash_containment": minhash_containment_sql,
@@ -5305,7 +5175,6 @@ SELECT d.doc_id,
        CAST((st.total * 100) // st.n AS BIGINT) AS mean_abs_x100
 FROM d JOIN st USING (doc_id)
 """,
-        "ann_pairs": ann_pairs_sql,
         "ann_pairs_blocked": ann_pairs_sql,
         "ann_topk": ann_topk_sql,
         # PQ exact regime reconstructs every vector exactly -> same
@@ -5424,6 +5293,7 @@ FROM documents
         "normalize": normalize_sql,
         "url_blocklist": url_blocklist_sql,
         "robots": robots_sql,
+        "curate_e2e": curate_e2e_sql,
         "domain_blocklist": domain_blocklist_sql,
         "corpus_mix": corpus_mix_sql,
         # semdedup: rows-only by design (float k-means); its exactness

@@ -61,6 +61,13 @@ SCALING_ONLY = os.environ.get("SPARK_GRAFT_SCALING_ONLY", "0") == "1"
 SCALE_N, SCALE_4N = (
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
 )
+# supplementary words_scale=8 (~2 KB pages) scaling sample — the
+# recorded criterion stays PINNED at words_scale=4 (BASELINE.md); this
+# tracks the Arrow-transfer-bound regime round over round. Half the
+# rows so the table's byte volume matches the ws=4 one.
+RUN_WS8 = os.environ.get("SPARK_GRAFT_SCALING_WS8", "1") != "0"
+WS8_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_WS8_ROWS",
+                              str(SCALE_ROWS // 2)))
 
 sys.path.insert(0, str(Path(__file__).parent))
 
@@ -237,7 +244,9 @@ def _read_msg(proc, prefix: str, level: int) -> str:
 
 
 def run_scaling_interleaved(
-    big_path: str, warm_path: str, baseline_path: str
+    big_path: str, warm_path: str, baseline_path: str,
+    rows: int = SCALE_ROWS, words_scale: int = SCALE_WORDS,
+    n_pairs: int | None = None,
 ) -> dict:
     """Two-cluster-size scaling evidence, robust to co-tenant drift.
 
@@ -282,7 +291,7 @@ def run_scaling_interleaved(
         workers[n_cores] = subprocess.Popen(
             pin + [
                 sys.executable, __file__, "--scale-worker",
-                str(n_cores), str(SCALE_ROWS), str(SCALE_WORDS),
+                str(n_cores), str(rows), str(words_scale),
                 big_path, warm_path, baseline_path,
             ],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
@@ -341,7 +350,7 @@ def run_scaling_interleaved(
                 round(res[SCALE_N]["sec"] / (4 * res[SCALE_4N]["sec"]), 3)
             )
 
-    run_pairs(SCALE_PAIRS)
+    run_pairs(n_pairs if n_pairs is not None else SCALE_PAIRS)
     if len(pair_effs) > 1 and max(pair_effs) / min(pair_effs) > 1.5:
         run_pairs(2)  # dispersion-triggered extension (once)
 
@@ -355,7 +364,7 @@ def run_scaling_interleaved(
 
     scaling: dict = {
         "levels": [SCALE_N, SCALE_4N],
-        "words_scale": SCALE_WORDS,
+        "words_scale": words_scale,
         "protocol": "interleaved-pairs+adaptive-sync",
         "cores": {f"local[{k}]": v for k, v in cores.items()},
         "sync_pairs_sec": [
@@ -417,10 +426,12 @@ def main() -> None:
     # representative per-query timings on the driver tables
     # (best-of-3 — the first execution of a plan pays one-time codegen)
     qtimes: dict[str, float] = {}
+    qtrials: dict[str, list[float]] = {}
     HEADLINE = [
+        "curate_e2e",
         "stats", "row_violations", "uniqueness", "exact_dedup",
-        "pricing_summary", "revenue_by_nation", "top_event_by_user",
-        "token_counts", "fingerprint", "ann_pairs", "minhash_candidates",
+        "pricing_summary",
+        "token_counts", "fingerprint", "ann_pairs_blocked",
         "simhash", "extraction", "datetime_conformance", "ngram_jaccard",
         "passage_dedup", "quality_topk_per_lang", "asof_purchase",
         "dedup_clusters", "repetition_profile", "pii_scan", "decontam",
@@ -436,8 +447,8 @@ def main() -> None:
         "mojibake",
         "benford", "dup_rate", "canonical_dedup", "row_diff",
         "text_classifier", "classifier_eval", "domain_graph", "pagerank",
-        "robots", "domain_blocklist", "audio_meta", "ann_pq",
-        "ann_ivfpq", "html_meta", "card_scan", "inverted_index",
+        "robots", "domain_blocklist", "audio_meta", "ann_pq_exact",
+        "ann_ivfpq_exact", "html_meta", "card_scan", "inverted_index",
         "anchors", "lang_agreement", "dsir", "main_content",
         "shard_plan", "sitemap", "trustrank", "frontier",
         "corpus_report", "bpe_pairs", "bpe_merges", "funnel",
@@ -462,13 +473,15 @@ def main() -> None:
             F.count("h"), F.min("h")
         ).collect()
 
+    import statistics
+
     for name in HEADLINE if not SCALING_ONLY else []:
-        best = float("inf")
+        trials_q: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
             df: DataFrame = queries[name](spark, SF_DIR)
             _force(df)
-            best = min(best, time.perf_counter() - t0)
+            trials_q.append(round(time.perf_counter() - t0, 3))
             # release operator-persisted intermediates between trials
             # (minhash buckets / shingle tables would pile up in cache).
             # The per-df attribute is stripped by the entry wrappers'
@@ -476,9 +489,16 @@ def main() -> None:
             # what actually catches the caches here.
             unpersist_intermediates(df)
             release_all_intermediates()
-        qtimes[name] = round(best, 3)
+        # MEDIAN of 3 warm trials (VERDICT r04 #4): best-of-one made
+        # round-over-round per-query deltas unreadable under ±2-3×
+        # co-tenant noise (r04 recorded ngram_jaccard 9.49s vs a real
+        # 2.74s). All trials are kept for audit.
+        qtimes[name] = round(statistics.median(trials_q), 3)
+        qtrials[name] = trials_q
     if not SCALING_ONLY:
         out["queries"] = qtimes
+        out["query_trials"] = qtrials
+        out["queries_stat"] = "median_of_3"
         out["value"] = round(val["sec"] + sum(qtimes.values()), 3)
     if RUN_SCALING:
         # generate the scaling tables + baseline under THIS
@@ -488,6 +508,9 @@ def main() -> None:
 
         big_path = materialize_pages(spark, SCALE_ROWS, SCALE_WORDS)
         warm_path = materialize_pages(spark, 50_000, SCALE_WORDS)
+        if RUN_WS8:
+            ws8_path = materialize_pages(spark, WS8_ROWS, 8)
+            ws8_warm = materialize_pages(spark, 50_000, 8)
         baseline_path = tempfile.mkdtemp(prefix="bench_baseline_")
         spark.createDataFrame(baseline_rows, BASELINE_SCHEMA).write.mode(
             "overwrite"
@@ -501,6 +524,16 @@ def main() -> None:
         out["scaling"] = run_scaling_interleaved(
             big_path, warm_path, baseline_path
         )
+        if RUN_WS8:
+            # supplementary ~2 KB-document sample (VERDICT r04 #8):
+            # words_scale is PINNED at 4 for the recorded ratio; this
+            # tracks the Arrow-transfer-bound regime each round with a
+            # reduced pair count (same protocol, half the rows so the
+            # total byte volume matches the ws=4 table)
+            out["scaling_ws8"] = run_scaling_interleaved(
+                ws8_path, ws8_warm, baseline_path,
+                rows=WS8_ROWS, words_scale=8, n_pairs=3,
+            )
         if not SCALING_ONLY:
             # distribution samples must not overwrite the canonical
             # BENCH.md of the last FULL run. A rendering bug must
@@ -579,6 +612,10 @@ round-over-round comparability.
 **{scaling['efficiency_median']}** median of pair-wise efficiencies
 (pairs: {scaling.get('pair_efficiencies')})
 (target ≥ 0.8 per BASELINE.json).
+
+The RECORDED scaling corpus is pinned at words_scale=4 (~1 KB pages);
+round 4 changed it from 1 silently and the verdict asked for the pin.
+{_ws8_md(out)}
 
 ## Why N={n}→4N={n4} (and not 8→32) on this box
 
@@ -715,6 +752,18 @@ sketches (drift) — orders of magnitude below scan volume.
 """
     md += _ladder_md()
     Path(__file__).parent.joinpath("BENCH.md").write_text(md)
+
+
+def _ws8_md(out: dict) -> str:
+    s = out.get("scaling_ws8")
+    if not s:
+        return ""
+    return (
+        f"Supplementary words_scale=8 (~2 KB pages, {WS8_ROWS} rows, "
+        f"Arrow-transfer-bound regime) sample: efficiency "
+        f"{s['efficiency']} best / {s['efficiency_median']} median "
+        f"(pairs: {s.get('pair_efficiencies')})."
+    )
 
 
 def _ladder_md() -> str:

@@ -107,9 +107,31 @@ def spec_fingerprint(spec) -> str:
 
 
 def snapshot_id_for(source: str) -> str:
-    """Snapshot identity for a parquet dir: path + max mtime of data
-    files (an Iceberg deployment would use the table's snapshot-id;
-    the local-parquet stand-in must still change when data changes)."""
+    """Snapshot identity of a source URI, used to key manifest rows.
+
+    - ``iceberg:<table>@<sid>`` (pin it first with
+      `sources.readers.pin_iceberg_snapshot`): identity = the PINNED
+      snapshot id — restarts read the same immutable snapshot, so
+      completed partitions stay valid across commits landing between
+      attempts (the north star's resumability contract).
+    - unpinned ``iceberg:<table>``: rejected — resuming against a
+      moving snapshot would silently mix data versions.
+    - parquet dir: path + max data-file mtime (the stand-in cannot
+      pin, so it INVALIDATES the manifest when data changes — safe in
+      the other direction).
+    """
+    if source.startswith("iceberg:"):
+        from py_schemax_spark.sources.readers import parse_iceberg_uri
+
+        name, sid = parse_iceberg_uri(source)
+        if sid is None:
+            raise ValueError(
+                f"refusing to checkpoint against unpinned iceberg "
+                f"table {name!r}: resolve the snapshot first with "
+                "pin_iceberg_snapshot() so restarts read the same "
+                "immutable snapshot"
+            )
+        return f"iceberg:{name}@{sid}"
     p = Path(source)
     mtimes = [0.0]
     if p.is_dir():

@@ -813,6 +813,7 @@ def connected_components(
     dst: str = "key_b",
     max_iter: int = 50,
     driver_max_edges: int = 2_000_000,
+    driver_max_edge_bytes: int = 128 * 1024 * 1024,
 ) -> DataFrame:
     """Connected components over verified duplicate PAIRS — the stage
     that turns pairwise near-dup evidence into dedup CLUSTERS (a~b and
@@ -883,9 +884,21 @@ def connected_components(
     # to the distributed path in tests. The distributed rounds remain
     # the path for genuinely large pair graphs.
     if driver_max_edges and n_edges <= driver_max_edges:
-        out = _driver_components(pairs.sparkSession, edges)
-        edges.unpersist()
-        return out
+        # Row count alone under-gates WIDE keys (VERDICT r04 #10: 2M
+        # edges of ~100-byte URLs ≈ 400 MB of Row objects): for string
+        # keys also probe total key BYTES — one cheap agg over the
+        # already-persisted edge set — and fall through to the
+        # distributed rounds when it exceeds the byte budget.
+        fits = True
+        if isinstance(edges.schema["u"].dataType, T.StringType):
+            tot = edges.agg(
+                (F.sum(F.length("u")) + F.sum(F.length("v"))).alias("b")
+            ).collect()[0]["b"]
+            fits = (tot or 0) <= driver_max_edge_bytes
+        if fits:
+            out = _driver_components(pairs.sparkSession, edges)
+            edges.unpersist()
+            return out
     target = max(1, int(n_edges // 4_000_000) + (1 if n_edges % 4_000_000 else 0))
     if target < edges.rdd.getNumPartitions():
         resized = edges.repartition(target, "u").persist(

@@ -434,9 +434,14 @@ def anchor_text_profile(
         raise ValueError("anchor_text_profile: top_k must be >= 1")
     from pyspark.sql import Window
 
+    # NULL anchor text would sort BEFORE false in the empty-text
+    # ordering below (asc puts nulls first), silently eating a top_k
+    # rank slot while excluded from top_anchors/n_texts (ADVICE r04).
+    # extract_anchors never emits nulls, but arbitrary caller tables
+    # may — coalesce them into the empty-text rank-last handling.
     per_text = anchors.groupBy(
         F.col(dst_col).alias("dst_url"),
-        F.col(anchor_col).alias("_text"),
+        F.coalesce(F.col(anchor_col), F.lit("")).alias("_text"),
     ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
     # empty-text rows rank LAST so they never consume a top_k slot
     # (they still count toward n_refs in the rollup)

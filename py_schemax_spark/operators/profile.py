@@ -494,16 +494,20 @@ def corpus_report(
     for _, pat, _rep in PII_PATTERNS:
         hit = F.regexp_count(c, F.lit(pat)) > 0
         any_pii = hit if any_pii is None else (any_pii | hit)
+    # sums coalesced OUTSIDE the agg too: SUM over zero rows is NULL,
+    # and the empty-corpus datasheet row must read 0, not null
     base = df.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(c.isNull().cast("long")).cast("long").alias("n_null_text"),
-        F.sum(F.coalesce(tok, F.lit(0))).cast("long")
-        .alias("total_tokens"),
-        F.sum(F.coalesce(F.length(c), F.lit(0))).cast("long")
-        .alias("total_chars"),
+        F.coalesce(F.sum(c.isNull().cast("long")), F.lit(0))
+        .cast("long").alias("n_null_text"),
+        F.coalesce(F.sum(F.coalesce(tok, F.lit(0))), F.lit(0))
+        .cast("long").alias("total_tokens"),
+        F.coalesce(F.sum(F.coalesce(F.length(c), F.lit(0))), F.lit(0))
+        .cast("long").alias("total_chars"),
         F.countDistinct(F.md5(c)).cast("long").alias("n_distinct_texts"),
-        F.sum(F.coalesce(any_pii.cast("long"), F.lit(0))).cast("long")
-        .alias("pii_docs"),
+        F.coalesce(
+            F.sum(F.coalesce(any_pii.cast("long"), F.lit(0))), F.lit(0)
+        ).cast("long").alias("pii_docs"),
         F.countDistinct(F.col(lang_col)).cast("long").alias("n_langs"),
     )
     top = (
@@ -514,7 +518,16 @@ def corpus_report(
         .select(F.col(lang_col).alias("top_lang"), "top_lang_n")
     )
     with_text = F.col("n_docs") - F.col("n_null_text")
-    return base.crossJoin(top).select(
+    # LEFT join on a constant key, not crossJoin: `top` has ZERO rows
+    # on an empty corpus (groupBy of nothing), and a cross join would
+    # erase the datasheet row — the one-row contract must survive an
+    # empty input with null top_lang/top_lang_n (ADVICE r04).
+    joined = (
+        base.withColumn("_j", F.lit(1))
+        .join(top.withColumn("_j", F.lit(1)), "_j", "left")
+        .drop("_j")
+    )
+    return joined.select(
         "n_docs", "n_null_text", "total_tokens", "total_chars",
         "n_distinct_texts", "pii_docs", "n_langs", "top_lang",
         "top_lang_n",

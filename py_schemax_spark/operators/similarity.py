@@ -33,6 +33,28 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# The top-k family collects/broadcasts the QUERY side (queries ≪
+# corpus by contract). The contract is enforced, not assumed: a
+# caller passing a corpus-sized query set gets a clear error from a
+# bounded probe (scans ≤ limit+1 rows, mirrors referential._exceeds)
+# instead of a driver OOM deep inside collect().
+_MAX_QUERY_ROWS = 100_000
+
+
+def _guard_query_side(
+    queries: DataFrame, api: str, max_query_rows: int
+) -> None:
+    if queries.limit(max_query_rows + 1).count() > max_query_rows:
+        raise ValueError(
+            f"{api}: query side exceeds max_query_rows="
+            f"{max_query_rows:,}. The top-k family broadcasts the "
+            "query set (queries << corpus by contract) — batch the "
+            "queries, raise max_query_rows explicitly if the driver "
+            "can hold them, or use similarity_pairs_above / "
+            "all_pairs_above_blocked for corpus-scale both-sides."
+        )
+
+
 def cosine_similarity_arrow(a: Column, b: Column) -> Column:
     """Row-wise cosine as ONE vectorized numpy op per Arrow batch —
     the hot-path replacement for the interpreted ``zip_with``/
@@ -67,6 +89,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_query_rows: int = _MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Exact top-k neighbors per query: broadcast the (small) query set
     against the corpus, window per query. Returns
@@ -85,6 +108,7 @@ def brute_force_topk(
     from pyspark.sql import types as T
     from typing import Iterator
 
+    _guard_query_side(queries, "brute_force_topk", max_query_rows)
     qrows = (
         queries.filter(F.col(vec_col).isNotNull())
         .select(
@@ -209,6 +233,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_query_rows: int = _MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Approximate top-k: corpus and queries bucketed by the same
     hyperplane signs; exact cosine only within matching buckets.
@@ -223,6 +248,8 @@ def lsh_topk(
     results with T tables are a superset-of-candidates refinement of
     T=1, and still exact-cosine-ranked."""
     from pyspark.sql import Window
+
+    _guard_query_side(queries, "lsh_topk", max_query_rows)
 
     def tabs(vec):
         return F.explode(
@@ -381,6 +408,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_query_rows: int = _MAX_QUERY_ROWS,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the corpus is coarsely
     quantized into ``n_lists`` inverted lists; each query probes its
@@ -400,6 +428,7 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
+    _guard_query_side(queries, "ivf_topk", max_query_rows)
     base = df.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     )
@@ -805,6 +834,7 @@ def pq_search(
     k: int = 10,
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_query_rows: int = _MAX_QUERY_ROWS,
 ) -> DataFrame:
     """ADC (asymmetric distance computation) top-k over a PQ-encoded
     corpus: each query builds an ``(m × n_codes)`` inner-product
@@ -823,6 +853,7 @@ def pq_search(
     for the ~400× smaller scan (recall pytested)."""
     from pyspark.sql import Window
 
+    _guard_query_side(queries, "pq_search", max_query_rows)
     books = np.asarray(codebooks, dtype=np.float64)
     m, n_codes, dsub = books.shape
     qrows = (
@@ -915,12 +946,15 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_query_rows: int = _MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Train + encode + ADC search in one call (the all-in-one used by
     the demo queries; a production pipeline trains/encodes once via
     ``train_pq_codebooks``/``pq_encode``, persists the code table —
     ideally bucketed, see ``sources/bucketed.py`` — and calls
     ``pq_search`` per query batch)."""
+    # guard BEFORE training so an oversized query side fails fast
+    _guard_query_side(queries, "pq_topk", max_query_rows)
     books = train_pq_codebooks(
         df, dim, m=m, n_codes=n_codes, sample=sample, iters=iters,
         seed=seed, id_col=id_col, vec_col=vec_col,
@@ -928,7 +962,7 @@ def pq_topk(
     codes = pq_encode(df, books, id_col=id_col, vec_col=vec_col)
     return pq_search(
         codes, queries, books, k=k, vec_col=vec_col,
-        query_id_col=query_id_col,
+        query_id_col=query_id_col, max_query_rows=max_query_rows,
     )
 
 
@@ -948,6 +982,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_query_rows: int = _MAX_QUERY_ROWS,
 ) -> DataFrame:
     """IVF+PQ — the production 10^12-scale ANN architecture (what
     faiss calls IVFxx,PQyy): coarse centroids prune WHICH vectors a
@@ -977,6 +1012,7 @@ def ivfpq_topk(
     """
     from pyspark.sql import Window
 
+    _guard_query_side(queries, "ivfpq_topk", max_query_rows)
     base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     )

@@ -62,8 +62,9 @@ def _encode(val) -> str:
 
 
 def _mg_update(counters: dict, val: str, k: int) -> None:
-    """One Misra-Gries step: increment if tracked, insert if room,
-    else decrement every counter (dropping zeros)."""
+    """One per-row Misra-Gries step (reference semantics, used by the
+    property tests): increment if tracked, insert if room, else
+    decrement every counter (dropping zeros)."""
     if val in counters:
         counters[val] += 1
     elif len(counters) < k - 1:
@@ -76,6 +77,33 @@ def _mg_update(counters: dict, val: str, k: int) -> None:
                 dead.append(key)
         for key in dead:
             del counters[key]
+
+
+def _mg_merge_batch(counters: dict, batch_counts, k: int) -> None:
+    """Merge one batch's EXACT value counts into a running MG(k)
+    summary — the mergeable-summaries MERGE step (Agarwal et al.,
+    PODS 2012): add counters pointwise, then if more than k-1 remain,
+    subtract the k-th largest counter value from all and drop ≤0.
+
+    This is the vectorized replacement for per-row `_mg_update`
+    (VERDICT r04 #7 — the row loop was corpus-granular Python): the
+    per-row work moves into pandas ``value_counts`` (C speed); Python
+    touches one dict entry per DISTINCT batch value. The guarantee is
+    unchanged — an exact batch summary has MG error 0, merging keeps
+    every counter a lower bound on the true partition count with
+    total error < N_p/k, so any value with partition count > N_p/k
+    still survives (the superset property `approx_heavy_hitters`'
+    confirm pass relies on)."""
+    for val, cnt in batch_counts.items():
+        counters[val] = counters.get(val, 0) + int(cnt)
+    if len(counters) > k - 1:
+        d = sorted(counters.values(), reverse=True)[k - 1]
+        for key in list(counters):
+            c = counters[key] - d
+            if c > 0:
+                counters[key] = c
+            else:
+                del counters[key]
 
 
 def misra_gries_partition_candidates(
@@ -102,9 +130,14 @@ def misra_gries_partition_candidates(
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
         for batch in batches:
-            col = batch[value_col]
-            for val in col:
-                _mg_update(counters, _encode(val), k)
+            # exact per-batch counts at C speed, then one weighted MG
+            # merge per distinct batch value (never per row)
+            vc = batch[value_col].value_counts(dropna=False)
+            batch_counts = {
+                (_NULL_TOKEN if pd.isna(val) else "v" + val): int(cnt)
+                for val, cnt in vc.items()
+            }
+            _mg_merge_batch(counters, batch_counts, k)
         yield pd.DataFrame(
             {
                 "value": list(counters.keys()),

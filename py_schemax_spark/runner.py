@@ -285,14 +285,23 @@ class ValidationRun:
                     cardinality_violations,
                 )
 
+                from pyspark import StorageLevel
+
+                # persisted BEFORE the verdict probe: the probe's
+                # materialization fills the cache, so the summary path
+                # (and any later violations write) reuses it instead
+                # of re-running the fact aggregation + dim join
+                # (ADVICE r04: the class executed twice per run)
                 cv = cardinality_violations(
                     df, self.spec, self.dims, partition_expr=part
-                )
+                ).persist(StorageLevel.MEMORY_AND_DISK)
                 parts.append(cv)
                 # __table__-attributed rows drop out of the
                 # per-partition summary join — track the verdict
-                # explicitly like drift does
-                cardinality_failed = not cv.isEmpty()
+                # explicitly like drift does. count() (not isEmpty)
+                # materializes EVERY partition into the cache in this
+                # one pass — the summary job then reads cached blocks
+                cardinality_failed = cv.count() > 0
                 if cfg.fail_mode == "fast" and cardinality_failed:
                     failed_early = True
             elif name == "drift":

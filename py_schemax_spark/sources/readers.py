@@ -16,14 +16,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def parse_iceberg_uri(uri: str) -> tuple[str, str | None]:
+    """``iceberg:<table>[@<snapshot_id>]`` → (table, snapshot or
+    None). The ``@snapshot`` pin is how a resumable run reads the SAME
+    immutable snapshot on every restart: the first attempt resolves
+    the table's current snapshot-id, records it in the checkpoint
+    manifest, and every retry re-reads ``iceberg:tbl@<sid>`` — new
+    commits between attempts cannot shift the data under completed
+    partitions (the parquet-dir stand-in gets the same property from
+    `checkpoint.snapshot_id_for`'s mtime hash, which INVALIDATES on
+    change instead of pinning)."""
+    body = uri[len("iceberg:"):]
+    if "@" in body:
+        name, sid = body.rsplit("@", 1)
+        if not sid or not name:
+            raise ValueError(f"malformed iceberg URI: {uri!r}")
+        return name, sid
+    return body, None
+
+
 def read_table(spark: SparkSession, uri: str) -> DataFrame:
-    """``iceberg:<table_name>`` → catalog table (requires the Iceberg
-    runtime jar + catalog conf on the cluster; absent in this sandbox,
-    so gated); anything else → parquet path."""
+    """``iceberg:<table_name>[@<snapshot_id>]`` → catalog table,
+    optionally pinned to a snapshot (requires the Iceberg runtime jar
+    + catalog conf on the cluster; absent in this sandbox, so gated);
+    anything else → parquet path."""
     if uri.startswith("iceberg:"):
-        name = uri[len("iceberg:"):]
+        name, sid = parse_iceberg_uri(uri)
         try:
-            return spark.read.format("iceberg").load(name)
+            reader = spark.read.format("iceberg")
+            if sid is not None:
+                reader = reader.option("snapshot-id", sid)
+            return reader.load(name)
         except Exception as exc:  # jar/catalog not on classpath
             raise RuntimeError(
                 f"Iceberg source requested ({name}) but the Iceberg "
@@ -66,3 +89,36 @@ def partition_predicate(selections: dict[str, list[str]]):
     for col, values in selections.items():
         pred = pred & F.col(col).isin(values)
     return pred
+
+
+def pin_iceberg_snapshot(spark: SparkSession, uri: str) -> str:
+    """Resolve an unpinned ``iceberg:<table>`` URI to
+    ``iceberg:<table>@<current_snapshot_id>`` (already-pinned URIs and
+    non-Iceberg URIs pass through unchanged). A resumable run calls
+    this ONCE at start and stores the pinned URI alongside its
+    checkpoint manifest, so every restart reads the identical
+    immutable snapshot — commits landing between attempts cannot
+    shift data under partitions already marked done. Reads the
+    ``<table>.snapshots`` metadata table (KB-scale), so the pin costs
+    one metadata query, no data scan. Gated like `read_table`: raises
+    RuntimeError when the Iceberg runtime is absent."""
+    if not uri.startswith("iceberg:"):
+        return uri
+    name, sid = parse_iceberg_uri(uri)
+    if sid is not None:
+        return uri
+    try:
+        row = (
+            spark.read.format("iceberg").load(f"{name}.snapshots")
+            .orderBy(F.desc("committed_at"))
+            .select("snapshot_id")
+            .first()
+        )
+    except Exception as exc:
+        raise RuntimeError(
+            f"cannot pin snapshot for iceberg table {name}: Iceberg "
+            "runtime/catalog not configured on this cluster"
+        ) from exc
+    if row is None:
+        raise RuntimeError(f"iceberg table {name} has no snapshots")
+    return f"iceberg:{name}@{row['snapshot_id']}"

@@ -30,6 +30,11 @@ _NUMERIC = (
     T.LongType, T.IntegerType, T.DoubleType, T.FloatType, T.ShortType,
     T.DecimalType, T.ByteType,
 )
+# Integral extrema travel as bigint (`min_int`/`max_int`): a double
+# loses exactness above 2^53 (snowflake-style 64-bit ids), breaking
+# the "extrema exact" merge contract (ADVICE r04). The double pair is
+# reserved for fractional types.
+_INTEGRAL = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
 
 
 def stats_manifest(
@@ -38,12 +43,14 @@ def stats_manifest(
     snapshot_id: str = "",
 ) -> DataFrame:
     """One manifest row per column: ``(snapshot_id, column, dtype,
-    cnt, nulls, min_num, max_num, min_str, max_str, hll)``.
+    cnt, nulls, min_int, max_int, min_num, max_num, min_str, max_str,
+    hll)``.
 
-    Numeric columns fill ``min_num``/``max_num`` (as double); string/
-    date/timestamp columns fill the string pair (dates render ISO, so
-    lexicographic == chronological). Binary columns track counts and
-    distinct only.
+    Integral columns fill ``min_int``/``max_int`` (bigint — exact at
+    any int64 magnitude); fractional columns fill ``min_num``/
+    ``max_num`` (double); string/date/timestamp columns fill the
+    string pair (dates render ISO, so lexicographic ==
+    chronological). Binary columns track counts and distinct only.
     """
     cols = columns if columns is not None else list(df.columns)
     aggs = []
@@ -55,9 +62,13 @@ def stats_manifest(
         aggs.append(
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_n{i}")
         )
-        is_num = isinstance(dt, _NUMERIC)
+        is_int = isinstance(dt, _INTEGRAL)
+        is_num = isinstance(dt, _NUMERIC) and not is_int
         is_bin = isinstance(dt, T.BinaryType)
-        if is_num:
+        if is_int:
+            aggs.append(F.min(col).cast("long").alias(f"_mn{i}"))
+            aggs.append(F.max(col).cast("long").alias(f"_mx{i}"))
+        elif is_num:
             aggs.append(F.min(col).cast("double").alias(f"_mn{i}"))
             aggs.append(F.max(col).cast("double").alias(f"_mx{i}"))
         elif not is_bin:
@@ -74,10 +85,10 @@ def stats_manifest(
         else:
             sketch_in = col.cast("string")
         aggs.append(F.hll_sketch_agg(sketch_in).alias(f"_h{i}"))
-        metas.append((i, c, dt.simpleString(), is_num, is_bin))
+        metas.append((i, c, dt.simpleString(), is_int, is_num, is_bin))
     row = df.agg(*aggs)
     structs = []
-    for i, name, dtype, is_num, is_bin in metas:
+    for i, name, dtype, is_int, is_num, is_bin in metas:
         structs.append(
             F.struct(
                 F.lit(snapshot_id).alias("snapshot_id"),
@@ -87,6 +98,14 @@ def stats_manifest(
                 F.coalesce(F.col(f"_n{i}"), F.lit(0)).cast("long")
                 .alias("nulls"),
                 (
+                    F.col(f"_mn{i}").cast("long") if is_int
+                    else F.lit(None).cast("long")
+                ).alias("min_int"),
+                (
+                    F.col(f"_mx{i}").cast("long") if is_int
+                    else F.lit(None).cast("long")
+                ).alias("max_int"),
+                (
                     F.col(f"_mn{i}").cast("double") if is_num
                     else F.lit(None).cast("double")
                 ).alias("min_num"),
@@ -95,11 +114,13 @@ def stats_manifest(
                     else F.lit(None).cast("double")
                 ).alias("max_num"),
                 (
-                    F.lit(None).cast("string") if (is_num or is_bin)
+                    F.lit(None).cast("string")
+                    if (is_int or is_num or is_bin)
                     else F.col(f"_mn{i}").cast("string")
                 ).alias("min_str"),
                 (
-                    F.lit(None).cast("string") if (is_num or is_bin)
+                    F.lit(None).cast("string")
+                    if (is_int or is_num or is_bin)
                     else F.col(f"_mx{i}").cast("string")
                 ).alias("max_str"),
                 F.col(f"_h{i}").alias("hll"),
@@ -112,15 +133,19 @@ def stats_manifest(
 
 def merge_stats_manifests(manifests: DataFrame) -> DataFrame:
     """Fold any union of manifest rows into combined per-column stats:
-    ``(column, dtype, cnt, nulls, min_num, max_num, min_str, max_str,
-    approx_distinct)``. Counts are EXACT sums, extrema exact min/max;
-    distinct is the HLL union estimate (identical to a single-pass
-    estimate over the concatenated data — see module docstring)."""
+    ``(column, dtype, cnt, nulls, min_int, max_int, min_num, max_num,
+    min_str, max_str, approx_distinct)``. Counts are EXACT sums,
+    extrema exact min/max (integral extrema stay bigint end-to-end, so
+    64-bit ids above 2^53 merge exactly); distinct is the HLL union
+    estimate (identical to a single-pass estimate over the
+    concatenated data — see module docstring)."""
     return (
         manifests.groupBy("column", "dtype")
         .agg(
             F.sum("cnt").cast("long").alias("cnt"),
             F.sum("nulls").cast("long").alias("nulls"),
+            F.min("min_int").alias("min_int"),
+            F.max("max_int").alias("max_int"),
             F.min("min_num").alias("min_num"),
             F.max("max_num").alias("max_num"),
             F.min("min_str").alias("min_str"),

@@ -1202,3 +1202,102 @@ def test_ivfpq_planted_twin_retrieved_and_pruning_real(spark):
     w_ids = {(r["query_id"], r["vec_id"]) for r in wide.collect()}
     # nprobe=1 scores a strict subset of the candidate space
     assert len(n_ids) <= len(w_ids)
+
+
+def test_topk_query_side_guard_raises(vectors):
+    """Every top-k API collects/broadcasts the query side; an
+    oversized query set must fail with a clear error at the API
+    boundary (bounded probe), never a driver OOM inside collect()
+    (VERDICT r04 'What's wrong' #2)."""
+    import pytest
+
+    from py_schemax_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivfpq_topk,
+        lsh_topk,
+        pq_topk,
+    )
+
+    queries = vectors.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    calls = {
+        "brute_force_topk": lambda: brute_force_topk(
+            vectors, queries, k=1, max_query_rows=3
+        ),
+        "lsh_topk": lambda: lsh_topk(
+            vectors, queries, dim=16, k=1, max_query_rows=3
+        ),
+        "ivf_topk": lambda: ivf_topk(
+            vectors, queries, dim=16, k=1, n_lists=4, max_query_rows=3
+        ),
+        "pq_topk": lambda: pq_topk(
+            vectors, queries, dim=16, k=1, m=1, n_codes=4,
+            max_query_rows=3,
+        ),
+        "ivfpq_topk": lambda: ivfpq_topk(
+            vectors, queries, dim=16, k=1, n_lists=2, nprobe=1, m=1,
+            n_codes=4, max_query_rows=3,
+        ),
+    }
+    for api, call in calls.items():
+        with pytest.raises(ValueError, match=api):
+            call()
+    # at the default bound the same 4-query calls pass untouched
+    got = {
+        r["query_id"]: r["vec_id"]
+        for r in brute_force_topk(vectors, queries, k=1).collect()
+    }
+    assert got == {0: 40, 1: 41, 2: 42, 3: 43}
+
+
+def test_connected_components_string_key_byte_gate(spark, monkeypatch):
+    """VERDICT r04 #10: wide string keys must be gated by BYTES, not
+    rows — under the byte budget the distributed rounds run (the
+    driver fast path must not be entered), and the labels still match
+    the driver path's."""
+    import py_schemax_spark.operators.dedup as dedup_mod
+    from py_schemax_spark.operators.dedup import connected_components
+
+    wide = [
+        (f"https://example.org/{'a' * 80}/{i}",
+         f"https://example.org/{'a' * 80}/{i + 1}")
+        for i in range(6)
+    ]
+    pairs = spark.createDataFrame(wide, "key_a string, key_b string")
+    expected = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert len(expected) == 7 and len(set(expected.values())) == 1
+
+    called = {"driver": False}
+    real = dedup_mod._driver_components
+
+    def spy(spark_, edges):
+        called["driver"] = True
+        return real(spark_, edges)
+
+    monkeypatch.setattr(dedup_mod, "_driver_components", spy)
+    # ~100-byte keys × 12 directed edges ≈ 2.4 KB > 1 KB budget →
+    # must take the distributed rounds even though 6 ≪ max rows
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            pairs, driver_max_edge_bytes=1024
+        ).collect()
+    }
+    assert not called["driver"]
+    assert got == expected
+    # int keys ignore the byte gate (no string lengths to probe)
+    ints = spark.createDataFrame(
+        [(1, 2), (2, 3)], "key_a long, key_b long"
+    )
+    got_int = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            ints, driver_max_edge_bytes=1
+        ).collect()
+    }
+    assert called["driver"] and got_int == {1: 1, 2: 1, 3: 1}

@@ -101,3 +101,109 @@ def test_iceberg_gate_fails_clearly_without_runtime(spark):
     AnalysisException."""
     with pytest.raises(RuntimeError, match="local.db.pages"):
         read_table(spark, "iceberg:local.db.pages")
+
+
+def test_parse_iceberg_uri_and_pin_passthrough():
+    from py_schemax_spark.sources.readers import parse_iceberg_uri
+
+    assert parse_iceberg_uri("iceberg:local.db.pages") == (
+        "local.db.pages", None
+    )
+    assert parse_iceberg_uri("iceberg:local.db.pages@123456789") == (
+        "local.db.pages", "123456789"
+    )
+    with pytest.raises(ValueError, match="malformed"):
+        parse_iceberg_uri("iceberg:local.db.pages@")
+    with pytest.raises(ValueError, match="malformed"):
+        parse_iceberg_uri("iceberg:@42")
+
+
+def test_pin_iceberg_snapshot_passthrough_paths(spark):
+    """Pinned and non-Iceberg URIs pass through without touching the
+    (absent) catalog; unpinned URIs hit the gate's clear error."""
+    from py_schemax_spark.sources.readers import pin_iceberg_snapshot
+
+    assert pin_iceberg_snapshot(spark, "/tmp/x.parquet") == "/tmp/x.parquet"
+    assert (
+        pin_iceberg_snapshot(spark, "iceberg:db.t@99")
+        == "iceberg:db.t@99"
+    )
+    with pytest.raises(RuntimeError, match="cannot pin snapshot"):
+        pin_iceberg_snapshot(spark, "iceberg:db.t")
+
+
+def test_snapshot_id_for_iceberg_pin_contract(tmp_path):
+    """The checkpoint manifest keys on the PINNED snapshot (stable
+    across restarts and later commits); an unpinned iceberg URI is
+    rejected rather than resumed against a moving snapshot. The
+    parquet stand-in keeps its invalidate-on-change mtime hash."""
+    from py_schemax_spark.checkpoint import snapshot_id_for
+
+    assert (
+        snapshot_id_for("iceberg:db.pages@42") == "iceberg:db.pages@42"
+    )
+    with pytest.raises(ValueError, match="unpinned"):
+        snapshot_id_for("iceberg:db.pages")
+    d = tmp_path / "pq"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x")
+    a = snapshot_id_for(str(d))
+    assert a == snapshot_id_for(str(d))  # stable while unchanged
+    import os
+
+    os.utime(d / "part-0.parquet", (2_000_000_000, 2_000_000_000))
+    assert snapshot_id_for(str(d)) != a  # invalidates on change
+
+
+@pytest.mark.skipif(
+    not ICEBERG_JAR or not os.path.exists(ICEBERG_JAR),
+    reason="SCHEMAX_ICEBERG_JAR not set (iceberg runtime not in sandbox)",
+)
+def test_iceberg_snapshot_pinned_resume(tmp_path):
+    """With the jar: pin → append new commit → the pinned URI still
+    reads the ORIGINAL snapshot (resume-across-snapshots), and the
+    checkpoint manifest keyed on the pin accepts the completed parts.
+    """
+    from pyspark.sql import SparkSession
+
+    from py_schemax_spark.checkpoint import snapshot_id_for
+    from py_schemax_spark.sources.readers import pin_iceberg_snapshot
+
+    warehouse = str(tmp_path / "wh")
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("iceberg-pin-it")
+        .config("spark.jars", ICEBERG_JAR)
+        .config(
+            "spark.sql.extensions",
+            "org.apache.iceberg.spark.extensions"
+            ".IcebergSparkSessionExtensions",
+        )
+        .config(
+            "spark.sql.catalog.local",
+            "org.apache.iceberg.spark.SparkCatalog",
+        )
+        .config("spark.sql.catalog.local.type", "hadoop")
+        .config("spark.sql.catalog.local.warehouse", warehouse)
+        .config("spark.sql.shuffle.partitions", "2")
+        .getOrCreate()
+    )
+    try:
+        from py_schemax_spark.sources.datagen import gen_pages
+
+        gen_pages(spark, 200).writeTo("local.db.pin_pages").using(
+            "iceberg"
+        ).createOrReplace()
+        pinned = pin_iceberg_snapshot(spark, "iceberg:local.db.pin_pages")
+        assert "@" in pinned
+        sid_key = snapshot_id_for(pinned)
+        # a new commit lands between run attempts
+        gen_pages(spark, 100).writeTo("local.db.pin_pages").append()
+        assert read_table(spark, "iceberg:local.db.pin_pages").count() == 300
+        assert read_table(spark, pinned).count() == 200  # pinned
+        # re-pinning the pinned URI is a no-op; the manifest key is
+        # unchanged across the commit
+        assert pin_iceberg_snapshot(spark, pinned) == pinned
+        assert snapshot_id_for(pinned) == sid_key
+    finally:
+        spark.stop()

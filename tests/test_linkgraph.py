@@ -435,3 +435,25 @@ def test_hits_partitioning_invariance_and_validation(spark):
     )
     with pytest.raises(ValueError):
         hits(edf, iters=0)
+
+
+def test_anchor_profile_null_text_ranks_last(spark):
+    """A NULL anchor in a caller-supplied table must share the
+    empty-text handling (counted in n_refs, excluded from n_texts and
+    top_anchors, never consuming a rank slot) — ADVICE r04: null
+    sorted FIRST in the rank ordering."""
+    from py_schemax_spark.operators.linkgraph import anchor_text_profile
+
+    anchors = spark.createDataFrame(
+        [
+            ("https://t.org/", None),
+            ("https://t.org/", None),
+            ("https://t.org/", "home"),
+            ("https://t.org/", ""),
+        ],
+        "dst_url string, anchor string",
+    )
+    r = anchor_text_profile(anchors, top_k=1).collect()[0]
+    assert r["n_refs"] == 4
+    assert r["n_texts"] == 1
+    assert r["top_anchors"] == ["home"]

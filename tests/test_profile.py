@@ -276,3 +276,20 @@ def test_group_quantiles_validation(spark):
         group_quantiles(df, "lang", "n", qs=())
     with _pytest.raises(ValueError):
         group_quantiles(df, "lang", "n", qs=(1.5,))
+
+
+def test_corpus_report_empty_corpus_keeps_one_row(spark):
+    """The datasheet contract is exactly ONE row regardless of corpus
+    size — including an EMPTY corpus (ADVICE r04: the crossJoin with
+    the 0-row top-lang table erased the row)."""
+    from py_schemax_spark.operators.profile import corpus_report
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string"
+    )
+    rows = corpus_report(empty).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_docs"] == 0 and r["total_tokens"] == 0
+    assert r["top_lang"] is None and r["top_lang_n"] is None
+    assert r["exact_dup_bp"] is None and r["pii_bp"] is None

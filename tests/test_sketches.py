@@ -311,3 +311,97 @@ def test_encoding_anomalies_zero_exchanges(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_bloom_positions_np_matches_scalar():
+    """The vectorized position kernel must be bit-identical to the
+    scalar reference on both the uint64 fast path (m ≤ 2^31) and the
+    Python-int fallback (m > 2^31)."""
+    import hashlib
+
+    import numpy as np
+
+    from py_schemax_spark.operators.decontam import (
+        _bloom_positions,
+        _bloom_positions_np,
+    )
+
+    digests = [
+        hashlib.md5(f"item-{i}".encode()).hexdigest() for i in range(64)
+    ]
+    for m in (64, 977, 1 << 20, (1 << 31), (1 << 31) + 9, (1 << 35) + 7):
+        got = _bloom_positions_np(digests, m)
+        want = np.array([_bloom_positions(h, m) for h in digests])
+        assert (got == want).all(), f"mismatch at m={m}"
+
+
+def test_bloom_build_driver_receives_one_bitmap(spark):
+    """VERDICT r04 #2: the segmented build must deliver exactly
+    ⌈bytes/seg_bytes⌉ segment rows totalling ONE bitmap to the driver
+    — never one partial bitmap per partition — and the multi-segment
+    bitmap must agree bit-for-bit with a single-segment build."""
+    import numpy as np
+
+    from py_schemax_spark.operators.decontam import build_ngram_bloom
+
+    words = " ".join(f"w{i}" for i in range(64))
+    bench = spark.createDataFrame(
+        [(words,)], schema="text string"
+    ).repartition(8)
+    # force multiple segments: m = 4096 bits, seg 1024 bits → 4 segs
+    bm_multi, m = build_ngram_bloom(
+        bench, n=8, m_bits=4096, seg_bits=1024
+    )
+    assert m == 4096 and len(bm_multi) == 4096 // 8 + 1
+    bm_single, _ = build_ngram_bloom(
+        bench, n=8, m_bits=4096, seg_bits=1 << 25
+    )
+    assert (bm_multi == bm_single).all()
+    assert int(np.unpackbits(bm_multi).sum()) > 0
+    # a non-power-of-two segment size is rejected at the boundary
+    import pytest
+
+    with pytest.raises(ValueError, match="power of two"):
+        build_ngram_bloom(bench, n=8, m_bits=4096, seg_bits=1000)
+
+
+def test_mg_merge_batch_guarantee_vs_rowwise():
+    """The batched weighted merge must (a) keep ≤ k-1 counters, (b)
+    keep every counter a lower bound on the true count, and (c) retain
+    every value with true count > N/k — the same one-sided guarantee
+    as the per-row reference update."""
+    import random
+
+    from collections import Counter
+
+    from py_schemax_spark.operators.sketches import (
+        _mg_merge_batch,
+        _mg_update,
+    )
+
+    rng = random.Random(7)
+    for trial in range(20):
+        n = rng.randrange(50, 400)
+        vals = [
+            "hot" if rng.random() < 0.4 else f"c{rng.randrange(200)}"
+            for _ in range(n)
+        ]
+        k = rng.choice([3, 5, 9])
+        truth = Counter(vals)
+        merged: dict = {}
+        # merge in uneven batches, exact counts per batch
+        i = 0
+        while i < n:
+            j = min(n, i + rng.randrange(1, 64))
+            _mg_merge_batch(merged, Counter(vals[i:j]), k)
+            i = j
+        rowwise: dict = {}
+        for v in vals:
+            _mg_update(rowwise, v, k)
+        for summary in (merged, rowwise):
+            assert len(summary) <= k - 1
+            for v, c in summary.items():
+                assert c <= truth[v]
+            for v, c in truth.items():
+                if c * k > n:
+                    assert v in summary, (trial, v, k)

@@ -53,7 +53,12 @@ def test_typed_minmax_and_counts(spark):
         for r in merge_stats_manifests(stats_manifest(_df(spark)))
         .collect()
     }
-    assert got["id"]["min_num"] == 0.0 and got["id"]["max_num"] == 99.0
+    # integral extrema travel exact as bigint; the double pair is
+    # reserved for fractional types (ADVICE r04)
+    assert got["id"]["min_int"] == 0 and got["id"]["max_int"] == 99
+    assert got["id"]["min_num"] is None
+    assert got["v"]["min_num"] == 0.0 and got["v"]["max_num"] == 148.5
+    assert got["v"]["min_int"] is None
     assert got["id"]["min_str"] is None
     assert got["lang"]["min_str"] == "l0"
     assert got["lang"]["max_str"] == "l4"
@@ -90,3 +95,19 @@ def test_empty_snapshot_is_identity(spark):
 def test_column_subset(spark):
     m = stats_manifest(_df(spark), columns=["id", "lang"])
     assert {r["column"] for r in m.collect()} == {"id", "lang"}
+
+
+def test_integral_extrema_exact_above_2_53(spark):
+    """64-bit ids above 2^53 must merge exactly — a double would
+    round them (ADVICE r04: the old manifest cast extrema to double,
+    so snowflake-style ids lost exactness)."""
+    big = (1 << 53) + 1  # not representable as double
+    df = spark.createDataFrame(
+        [(big,), (big + 2,), (0,)], "id long"
+    )
+    m = stats_manifest(df.filter("id > 0"), snapshot_id="a").union(
+        stats_manifest(df.filter("id = 0"), snapshot_id="b")
+    )
+    got = merge_stats_manifests(m).collect()[0]
+    assert got["min_int"] == 0 and got["max_int"] == big + 2
+    assert got["min_num"] is None and got["max_num"] is None
