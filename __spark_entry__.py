@@ -742,14 +742,26 @@ def q_audio_meta(spark, sf_dir):
 
 
 def q_frame_sample(spark, sf_dir):
-    """Multimodal frame-sampling fan-out plan (video analogue):
-    deterministic frame indices per payload, one row per sampled
-    frame. ORACLED: the fan-out is a pure function of payload size."""
-    from py_schemax_spark.operators.multimodal import frame_sample_plan
+    """REAL video frame sampling (round 5 — closes the last plan-only
+    modality): deterministic uncompressed RIFF/AVI payloads rendered
+    per doc_id, decoded by the pure-numpy container walk, every 2nd
+    frame's integer-exact pixel statistics emitted. Every output
+    column is a closed-form function of doc_id, so the oracle
+    recomputes the per-frame pixel sums independently with
+    generate_series — a bug anywhere in the chunk walk, DIB
+    row-flip/BGR swap, stride unpadding, or sampling stride breaks
+    the hash."""
+    from py_schemax_spark.operators.multimodal import (
+        render_avi_udf,
+        sample_frames,
+    )
 
-    pages = pages_from_documents(spark, sf_dir)
-    return frame_sample_plan(pages, every_n=7, key_col="url",
-                             payload_col="html")
+    d = _docs(spark, sf_dir)
+    vids = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        render_avi_udf()(F.col("doc_id")).alias("html"),
+    )
+    return sample_frames(vids, every_n=2)
 
 
 def q_repetition_profile(spark, sf_dir):
@@ -2657,7 +2669,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "drift_ks": q_drift_ks,
         "sessionize": q_sessionize,
-        "ngram_jaccard": q_ngram_jaccard,
+        # frame_sample moved IN-window in round 5: its contract is new
+        # (real AVI decode + per-frame stats, first-ever oracle), so
+        # it needs a first driver record under the new schema;
+        # ngram_jaccard (driver-green r02 AND r03) rotated below
+        "frame_sample": q_frame_sample,
         # ---- 50-entry window boundary ----
         # every entry below has >=1 green row in the r01-r04 driver
         # records (verify by unioning CORRECTNESS_r01-r04.json), or is
@@ -2715,7 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "drift_buckets": q_drift_buckets,
-        "frame_sample": q_frame_sample,
+        "ngram_jaccard": q_ngram_jaccard,
         "quality_topk_per_lang": q_quality_topk_per_lang,
         "pricing_summary": q_pricing_summary,
     }
@@ -5294,6 +5310,35 @@ FROM documents
         "url_blocklist": url_blocklist_sql,
         "robots": robots_sql,
         "curate_e2e": curate_e2e_sql,
+        # closed-form twin of q_frame_sample's rendered AVI corpus
+        "frame_sample": """
+WITH dims AS (
+  SELECT doc_id,
+         4 + doc_id % 3 AS w, 2 + doc_id % 2 AS h,
+         3 + doc_id % 4 AS n,
+         CAST(1000000000 // (40000 * (1 + doc_id % 2)) AS BIGINT)
+           AS fps_x1000
+  FROM documents
+),
+f AS (
+  SELECT d.*, CAST(u.fi AS INT) AS frame_index
+  FROM dims d, UNNEST(range(0, d.n, 2)) AS u(fi)
+),
+px AS (
+  SELECT f.doc_id, f.frame_index, f.w, f.h, f.n, f.fps_x1000,
+         SUM((f.doc_id * 7 + f.frame_index * 31 + y.range * 13
+              + x.range * 5 + c.range * 3) % 256) AS sum_px
+  FROM f, range(0, 3) y, range(0, 6) x, range(0, 3) c
+  WHERE y.range < f.h AND x.range < f.w
+  GROUP BY ALL
+)
+SELECT CAST(doc_id AS VARCHAR) AS key, frame_index,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(n AS INT) AS n_frames, fps_x1000,
+       CAST(sum_px AS BIGINT) AS sum_px,
+       CAST(sum_px * 100 // (w * h * 3) AS BIGINT) AS mean_px_x100
+FROM px
+""",
         "domain_blocklist": domain_blocklist_sql,
         "corpus_mix": corpus_mix_sql,
         # semdedup: rows-only by design (float k-means); its exactness

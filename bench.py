@@ -769,18 +769,28 @@ def _ws8_md(out: dict) -> str:
 def _ladder_md() -> str:
     """Render the dedup-ladder table from the most recent
     tools/bench_dedup_ladder.py run (LADDER_LATEST.json), so full
-    bench runs — which rewrite BENCH.md — preserve it."""
+    bench runs — which rewrite BENCH.md — preserve it. When the
+    archived round-3 record (LADDER_r03.json) exists, its wall times
+    render alongside so the round-over-round delta after the round-4
+    CC/broadcast changes is visible (VERDICT r04 #5)."""
     p = Path(__file__).parent / "LADDER_LATEST.json"
     if not p.exists():
         return ""
     lad = json.loads(p.read_text())
     st = lad["stages"]
+    prev_p = Path(__file__).parent / "LADDER_r03.json"
+    prev = (
+        json.loads(prev_p.read_text())["stages"]
+        if prev_p.exists() else {}
+    )
 
     def row(key: str, label: str) -> str:
         s = st.get(key)
         if not s:
             return ""
-        return f"| {label} | {s['sec']} | {s['pairs']:,} |\n"
+        r3 = prev.get(key)
+        r3_sec = f"{r3['sec']}" if r3 else "—"
+        return f"| {label} | {s['sec']} | {r3_sec} | {s['pairs']:,} |\n"
 
     gb = lad["rows"] * lad["avg_doc_bytes"] / 1e9
     body = (
@@ -795,7 +805,7 @@ def _ladder_md() -> str:
         )
     )
     return f"""
-## Dedup ladder at realistic document scale (round 3)
+## Dedup ladder at realistic document scale
 
 The headline testdata is ~250-byte docs from a 38-word vocabulary —
 DEGENERATE for LSH (byte-5-gram Jaccard between unrelated docs ~0.5,
@@ -808,8 +818,8 @@ IDENTICAL pages (the hot-LSH-bucket case the round-3 population caps
 exist for) and near-dup families at Jaccard ≈ 0.98. local[{lad['cpus']}],
 each stage timed as a full materialization.
 
-| stage | wall sec | pairs emitted |
-|---|---|---|
+| stage | wall sec (latest) | wall sec (round 3) | pairs emitted |
+|---|---|---|---|
 {body}
 Reading: the population cap turns the boilerplate bucket from a
 C({lad['hot_docs']:,}, 2) ≈ {lad['hot_docs'] * (lad['hot_docs'] - 1) // 2:,}-pair
