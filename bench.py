@@ -454,6 +454,7 @@ def main() -> None:
         "corpus_report", "bpe_pairs", "bpe_merges", "funnel",
         "retention", "missing_days", "fk_cardinality",
         "anchor_profile", "hits", "stats_merge", "group_quantiles",
+        "frame_sample",
     ]
     queries = entrymod.queries()
     from py_schemax_spark.operators.dedup import (
@@ -821,6 +822,8 @@ each stage timed as a full materialization.
 | stage | wall sec (latest) | wall sec (round 3) | pairs emitted |
 |---|---|---|---|
 {body}
+{("Measurement conditions: " + lad["note"]) if lad.get("note") else ""}
+
 Reading: the population cap turns the boilerplate bucket from a
 C({lad['hot_docs']:,}, 2) ≈ {lad['hot_docs'] * (lad['hot_docs'] - 1) // 2:,}-pair
 explosion into a logged drop (exact duplicates remain exact-dedup's
