@@ -690,7 +690,23 @@ def main(argv: Optional[list[str]] = None, spark=None) -> int:
             return 2
         worst = 0
         for i, t in enumerate(tables):
-            df = read_table(spark, t)
+            try:
+                if rc.checkpoint_dir and t.startswith("iceberg:"):
+                    # resumable runs must read ONE immutable snapshot
+                    # on every attempt: resolve the pin once here, so
+                    # both the read and the manifest key
+                    # (snapshot_id_for) carry it — a commit landing
+                    # between attempts cannot shift data under
+                    # completed partitions
+                    from py_schemax_spark.sources.readers import (
+                        pin_iceberg_snapshot,
+                    )
+
+                    t = pin_iceberg_snapshot(spark, t)
+                df = read_table(spark, t)
+            except (RuntimeError, ValueError) as e:
+                print(f"❌ {t}: {e}", file=sys.stderr)
+                return 2
             if ns.where:
                 from pyspark.sql import functions as F
 

@@ -207,3 +207,28 @@ def test_iceberg_snapshot_pinned_resume(tmp_path):
         assert snapshot_id_for(pinned) == sid_key
     finally:
         spark.stop()
+
+
+def test_validate_cli_pins_iceberg_before_checkpoint(
+    spark, tmp_path, capsys
+):
+    """`validate iceberg:tbl --checkpoint-dir …` must resolve the
+    snapshot pin BEFORE reading; without the runtime that surfaces as
+    the pin gate's clear error + exit 2, never a py4j traceback."""
+    from py_schemax_spark.cli import main
+
+    spec = tmp_path / "s.yaml"
+    spec.write_text(
+        "fqn: t\nkey: url\ncolumns:\n- name: url\n  type: string\n"
+    )
+    rc = main(
+        [
+            "validate", "iceberg:local.db.missing",
+            "--spec", str(spec),
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+        ],
+        spark=spark,  # shared session (main would stop its own)
+    )
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "cannot pin snapshot" in err
