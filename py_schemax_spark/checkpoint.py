@@ -38,6 +38,7 @@ class CheckpointManifest:
         self.snapshot_id = snapshot_id
         self.spec_fingerprint = spec_fingerprint
         self._records: dict[str, dict] = {}
+        self._foreign: list[dict] = []
         self._load()
 
     def _load(self) -> None:
@@ -54,6 +55,12 @@ class CheckpointManifest:
                     and rec.get("spec_fingerprint") == self.spec_fingerprint
                 ):
                     self._records[rec["part"]] = rec
+                else:
+                    # rows for OTHER snapshots/specs are preserved
+                    # verbatim through every flush — erasing them
+                    # would break a later manual resume against the
+                    # snapshot they belong to
+                    self._foreign.append(rec)
 
     @property
     def completed_parts(self) -> set[str]:
@@ -86,6 +93,8 @@ class CheckpointManifest:
     def _flush(self) -> None:
         tmp = self.path.with_suffix(".jsonl.tmp")
         with open(tmp, "w", encoding="utf-8") as f:
+            for rec in self._foreign:
+                f.write(json.dumps(rec, default=str) + "\n")
             for rec in self._records.values():
                 f.write(json.dumps(rec, default=str) + "\n")
             f.flush()
@@ -94,7 +103,15 @@ class CheckpointManifest:
 
     @property
     def violations_dir(self) -> str:
-        return str(self.dir / "violations")
+        """Violations parquet root, SCOPED to (snapshot, spec): the
+        read-back unions everything under this dir, so rows persisted
+        under a previous snapshot (a commit landed between runs) or a
+        different spec version must live in a sibling dir, not get
+        unioned into this run's verdict."""
+        scope = hashlib.sha256(
+            f"{self.snapshot_id}:{self.spec_fingerprint}".encode()
+        ).hexdigest()[:16]
+        return str(self.dir / "violations" / scope)
 
 
 def spec_fingerprint(spec) -> str:
@@ -138,3 +155,40 @@ def snapshot_id_for(source: str) -> str:
         mtimes += [f.stat().st_mtime for f in p.rglob("*.parquet")]
     h = hashlib.sha256(f"{source}:{max(mtimes)}".encode()).hexdigest()[:16]
     return h
+
+
+def pinned_source_uri(spark, uri: str, checkpoint_dir: str) -> str:
+    """Stable pinned URI for a checkpointed run over an Iceberg table:
+    the FIRST attempt resolves the table's current snapshot and
+    records it in ``<checkpoint_dir>/source_pins.json``; every restart
+    reuses the RECORDED pin instead of re-resolving — that is what
+    makes 'completed partitions stay valid across commits landing
+    between attempts' actually true (a re-resolve after a commit would
+    key the manifest on the new snapshot and restart from scratch).
+    Non-Iceberg and already-pinned URIs pass through unchanged. To
+    validate a NEWER snapshot intentionally, delete the pin file (or
+    use a fresh checkpoint dir) — the stale-pin tradeoff is explicit,
+    not silent."""
+    if not uri.startswith("iceberg:"):
+        return uri
+    from py_schemax_spark.sources.readers import (
+        parse_iceberg_uri,
+        pin_iceberg_snapshot,
+    )
+
+    _name, sid = parse_iceberg_uri(uri)
+    if sid is not None:
+        return uri
+    pin_path = Path(checkpoint_dir) / "source_pins.json"
+    pins: dict[str, str] = (
+        json.loads(pin_path.read_text()) if pin_path.is_file() else {}
+    )
+    if uri in pins:
+        return pins[uri]
+    pinned = pin_iceberg_snapshot(spark, uri)
+    Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
+    pins[uri] = pinned
+    tmp = pin_path.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(pins, indent=1))
+    os.replace(tmp, pin_path)
+    return pinned

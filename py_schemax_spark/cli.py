@@ -693,16 +693,16 @@ def main(argv: Optional[list[str]] = None, spark=None) -> int:
             try:
                 if rc.checkpoint_dir and t.startswith("iceberg:"):
                     # resumable runs must read ONE immutable snapshot
-                    # on every attempt: resolve the pin once here, so
-                    # both the read and the manifest key
-                    # (snapshot_id_for) carry it — a commit landing
-                    # between attempts cannot shift data under
-                    # completed partitions
-                    from py_schemax_spark.sources.readers import (
-                        pin_iceberg_snapshot,
+                    # on EVERY attempt: the first attempt resolves the
+                    # pin and records it under the checkpoint dir;
+                    # restarts reuse the recorded pin (re-resolving
+                    # after a commit would key the manifest on the new
+                    # snapshot and restart from scratch)
+                    from py_schemax_spark.checkpoint import (
+                        pinned_source_uri,
                     )
 
-                    t = pin_iceberg_snapshot(spark, t)
+                    t = pinned_source_uri(spark, t, rc.checkpoint_dir)
                 df = read_table(spark, t)
             except (RuntimeError, ValueError) as e:
                 print(f"❌ {t}: {e}", file=sys.stderr)
@@ -734,6 +734,10 @@ def main(argv: Optional[list[str]] = None, spark=None) -> int:
                          "schema_errors": result.schema_errors},
                         f, default=str, indent=2,
                     )
+            # all terminal actions on this result are done — release
+            # the run's cached intermediates so a many-table
+            # invocation doesn't accumulate cache blocks
+            result.release()
             code = out.end_control(result, cfg.fail_mode)
             worst = max(worst, code)
             if code != 0 and cfg.fail_mode == "fast":

@@ -233,8 +233,8 @@ def build_ngram_bloom(
     import numpy as np
     import pyspark.sql.types as T2
 
-    if seg_bits & (seg_bits - 1):
-        raise ValueError("seg_bits must be a power of two")
+    if seg_bits < 8 or seg_bits & (seg_bits - 1):
+        raise ValueError("seg_bits must be a power of two >= 8")
     hashes = benchmark_ngram_hashes(benchmark, text_col=text_col, n=n)
     persisted = False
     if m_bits is None:

@@ -891,8 +891,11 @@ def connected_components(
         # distributed rounds when it exceeds the byte budget.
         fits = True
         if isinstance(edges.schema["u"].dataType, T.StringType):
+            # octet_length, not length: CJK / percent-decoded URL keys
+            # are up to 4 bytes per CHARACTER, and the budget is bytes
             tot = edges.agg(
-                (F.sum(F.length("u")) + F.sum(F.length("v"))).alias("b")
+                (F.sum(F.octet_length("u"))
+                 + F.sum(F.octet_length("v"))).alias("b")
             ).collect()[0]["b"]
             fits = (tot or 0) <= driver_max_edge_bytes
         if fits:

@@ -834,7 +834,7 @@ def pq_search(
     k: int = 10,
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    max_query_rows: int = _MAX_QUERY_ROWS,
+    max_query_rows: int | None = _MAX_QUERY_ROWS,
 ) -> DataFrame:
     """ADC (asymmetric distance computation) top-k over a PQ-encoded
     corpus: each query builds an ``(m × n_codes)`` inner-product
@@ -853,7 +853,11 @@ def pq_search(
     for the ~400× smaller scan (recall pytested)."""
     from pyspark.sql import Window
 
-    _guard_query_side(queries, "pq_search", max_query_rows)
+    if max_query_rows is not None:
+        # None = caller already guarded (pq_topk runs the probe once
+        # before training; a second limit+count job here would just
+        # re-execute the query lineage)
+        _guard_query_side(queries, "pq_search", max_query_rows)
     books = np.asarray(codebooks, dtype=np.float64)
     m, n_codes, dsub = books.shape
     qrows = (
@@ -962,7 +966,7 @@ def pq_topk(
     codes = pq_encode(df, books, id_col=id_col, vec_col=vec_col)
     return pq_search(
         codes, queries, books, k=k, vec_col=vec_col,
-        query_id_col=query_id_col, max_query_rows=max_query_rows,
+        query_id_col=query_id_col, max_query_rows=None,
     )
 
 

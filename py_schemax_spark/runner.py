@@ -122,6 +122,21 @@ class RunResult:
     schema_errors: list = field(default_factory=list)
     skipped_parts: list = field(default_factory=list)
     checks_run: tuple = ()
+    # DataFrames run() persisted into the session cache (today: the
+    # cardinality violations). A long-lived session validating many
+    # tables must release them after its terminal action on the
+    # result, or cache blocks accumulate for the session lifetime.
+    persisted: tuple = ()
+
+    def release(self) -> None:
+        """Unpersist every cached intermediate this run pinned.
+        After release, re-materializing `violations` recomputes the
+        released plans (correct, just uncached)."""
+        for df in self.persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 class ValidationRun:
@@ -202,6 +217,7 @@ class ValidationRun:
         schema_errors: list[dict] = []
         drift_list: list[dict] = []
         parts: list[DataFrame] = []
+        persisted_dfs: list[DataFrame] = []
         checks_run: list[str] = []
         failed_early = False
         cardinality_failed = False
@@ -295,6 +311,7 @@ class ValidationRun:
                 cv = cardinality_violations(
                     df, self.spec, self.dims, partition_expr=part
                 ).persist(StorageLevel.MEMORY_AND_DISK)
+                persisted_dfs.append(cv)
                 parts.append(cv)
                 # __table__-attributed rows drop out of the
                 # per-partition summary join — track the verdict
@@ -347,6 +364,7 @@ class ValidationRun:
             drift=drift_list,
             schema_errors=schema_errors,
             checks_run=tuple(checks_run),
+            persisted=tuple(persisted_dfs),
         )
 
     def explain_plans(self, df: DataFrame) -> dict[str, str]:
@@ -426,11 +444,16 @@ class ValidationRun:
         )
         res = sub._run_plain(remaining_df)
 
-        # persist fresh violations per partition, then mark done
+        # persist fresh violations per partition, then mark done.
+        # Dynamic partition OVERWRITE, not append: a run that crashed
+        # after writing a partition but before mark_done re-runs that
+        # partition on resume — append would then duplicate its rows,
+        # dynamic overwrite replaces exactly the re-run partitions and
+        # leaves completed ones untouched.
         fresh = res.violations
-        fresh.write.mode("append").partitionBy("part").parquet(
-            manifest.violations_dir
-        )
+        fresh.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("part").parquet(manifest.violations_dir)
         parts_metrics = {
             str(r["part"]): {
                 "row_count": r["row_count"],
@@ -525,6 +548,7 @@ class ValidationRun:
             schema_errors=res.schema_errors,
             skipped_parts=sorted(done),
             checks_run=tuple(checks_run),
+            persisted=res.persisted,
         )
 
     def stats(self, df: DataFrame, exact_distinct: bool = False) -> DataFrame:

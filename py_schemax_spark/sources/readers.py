@@ -107,18 +107,38 @@ def pin_iceberg_snapshot(spark: SparkSession, uri: str) -> str:
     name, sid = parse_iceberg_uri(uri)
     if sid is not None:
         return uri
+    # Resolve the CURRENT snapshot from the main-branch ref — NOT
+    # max(committed_at) over `.snapshots`: after a rollback, or with
+    # WAP-staged snapshots / other branches, the newest-committed
+    # snapshot is not what the table presents. `.refs` is
+    # authoritative; `.history` restricted to is_current_ancestor is
+    # the fallback for runtimes without the refs metadata table.
+    row = None
+    err: Exception | None = None
     try:
         row = (
-            spark.read.format("iceberg").load(f"{name}.snapshots")
-            .orderBy(F.desc("committed_at"))
+            spark.read.format("iceberg").load(f"{name}.refs")
+            .filter("name = 'main' AND type = 'BRANCH'")
             .select("snapshot_id")
             .first()
         )
     except Exception as exc:
+        err = exc
+    if row is None:
+        try:
+            row = (
+                spark.read.format("iceberg").load(f"{name}.history")
+                .filter("is_current_ancestor")
+                .orderBy(F.desc("made_current_at"))
+                .select("snapshot_id")
+                .first()
+            )
+        except Exception as exc:
+            err = exc
+    if row is None:
         raise RuntimeError(
             f"cannot pin snapshot for iceberg table {name}: Iceberg "
-            "runtime/catalog not configured on this cluster"
-        ) from exc
-    if row is None:
-        raise RuntimeError(f"iceberg table {name} has no snapshots")
+            "runtime/catalog not configured on this cluster, or the "
+            "table has no snapshots"
+        ) from err
     return f"iceberg:{name}@{row['snapshot_id']}"

@@ -33,8 +33,21 @@ _NUMERIC = (
 # Integral extrema travel as bigint (`min_int`/`max_int`): a double
 # loses exactness above 2^53 (snowflake-style 64-bit ids), breaking
 # the "extrema exact" merge contract (ADVICE r04). The double pair is
-# reserved for fractional types.
+# reserved for fractional types. Scale-0 decimals up to precision 18
+# (NUMBER(18,0)-style ids — int64 holds 18 full digits) route to the
+# bigint pair too; wider scale-0 decimals exceed int64 and stay on
+# the double path with the loss documented here.
 _INTEGRAL = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+
+
+def _is_integral(dt: T.DataType) -> bool:
+    if isinstance(dt, _INTEGRAL):
+        return True
+    return (
+        isinstance(dt, T.DecimalType)
+        and dt.scale == 0
+        and dt.precision <= 18
+    )
 
 
 def stats_manifest(
@@ -62,7 +75,7 @@ def stats_manifest(
         aggs.append(
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_n{i}")
         )
-        is_int = isinstance(dt, _INTEGRAL)
+        is_int = _is_integral(dt)
         is_num = isinstance(dt, _NUMERIC) and not is_int
         is_bin = isinstance(dt, T.BinaryType)
         if is_int:

@@ -232,3 +232,64 @@ def test_validate_cli_pins_iceberg_before_checkpoint(
     assert rc == 2
     err = capsys.readouterr().err
     assert "cannot pin snapshot" in err
+
+
+def test_pinned_source_uri_reuses_recorded_pin(spark, tmp_path):
+    """The checkpoint-dir pin file is the resume contract: a recorded
+    pin is reused verbatim WITHOUT touching the catalog (no runtime in
+    this sandbox — a catalog query would raise), and non-iceberg /
+    pre-pinned URIs pass through."""
+    import json
+
+    from py_schemax_spark.checkpoint import pinned_source_uri
+
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    (ck / "source_pins.json").write_text(
+        json.dumps({"iceberg:db.t": "iceberg:db.t@777"})
+    )
+    assert (
+        pinned_source_uri(spark, "iceberg:db.t", str(ck))
+        == "iceberg:db.t@777"
+    )
+    assert pinned_source_uri(spark, "/tmp/x", str(ck)) == "/tmp/x"
+    assert (
+        pinned_source_uri(spark, "iceberg:db.t@9", str(ck))
+        == "iceberg:db.t@9"
+    )
+    # unrecorded + no runtime → the pin gate's clear error
+    with pytest.raises(RuntimeError, match="cannot pin snapshot"):
+        pinned_source_uri(spark, "iceberg:db.other", str(ck))
+
+
+def test_violations_dir_scoped_by_snapshot_and_spec(tmp_path):
+    """Rows persisted under a previous snapshot or spec version must
+    land in a SIBLING dir — the read-back unions everything under the
+    scoped dir, and cross-snapshot union double-counted violations."""
+    from py_schemax_spark.checkpoint import CheckpointManifest
+
+    a = CheckpointManifest(str(tmp_path), "snapA", "spec1")
+    b = CheckpointManifest(str(tmp_path), "snapB", "spec1")
+    c = CheckpointManifest(str(tmp_path), "snapA", "spec2")
+    dirs = {a.violations_dir, b.violations_dir, c.violations_dir}
+    assert len(dirs) == 3
+    for d in dirs:
+        assert d.startswith(str(tmp_path))
+
+
+def test_manifest_preserves_foreign_snapshot_rows(tmp_path):
+    """mark_done under snapshot B must not erase snapshot A's rows —
+    a later resume against A (manual pin) still needs them."""
+    from py_schemax_spark.checkpoint import CheckpointManifest
+
+    a = CheckpointManifest(str(tmp_path), "snapA", "spec1")
+    a.mark_done("p1", {"row_count": 10, "violation_count": 0,
+                       "valid": True})
+    b = CheckpointManifest(str(tmp_path), "snapB", "spec1")
+    b.mark_done("p1", {"row_count": 12, "violation_count": 1,
+                       "valid": False})
+    a2 = CheckpointManifest(str(tmp_path), "snapA", "spec1")
+    assert a2.completed_parts == {"p1"}
+    assert a2.record("p1")["row_count"] == 10
+    b2 = CheckpointManifest(str(tmp_path), "snapB", "spec1")
+    assert b2.record("p1")["violation_count"] == 1

@@ -111,3 +111,25 @@ def test_integral_extrema_exact_above_2_53(spark):
     got = merge_stats_manifests(m).collect()[0]
     assert got["min_int"] == 0 and got["max_int"] == big + 2
     assert got["min_num"] is None and got["max_num"] is None
+
+
+def test_scale0_decimal_ids_route_to_exact_bigint_pair(spark):
+    """NUMBER(18,0)-style decimal ids must take the exact bigint pair
+    (a double rounds them above 2^53); fractional decimals stay on the
+    double pair."""
+    from decimal import Decimal
+
+    big = Decimal((1 << 53) + 1)
+    df = spark.createDataFrame(
+        [(big, Decimal("1.5")), (Decimal(0), Decimal("2.5"))],
+        "id decimal(18,0), v decimal(10,2)",
+    )
+    got = {
+        r["column"]: r.asDict()
+        for r in merge_stats_manifests(stats_manifest(df)).collect()
+    }
+    assert got["id"]["min_int"] == 0
+    assert got["id"]["max_int"] == (1 << 53) + 1
+    assert got["id"]["min_num"] is None
+    assert got["v"]["min_int"] is None
+    assert got["v"]["min_num"] == 1.5
