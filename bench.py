@@ -655,6 +655,22 @@ row constraints, byte-identical html→text extraction (Arrow pandas
 UDF), uniqueness (window), lang referential (broadcast anti-join),
 t-digest drift vs baseline.
 
+## Round-5 run-to-run distribution
+
+Measured 2026-08-21, pinned words_scale=4 corpus (8M rows), same
+commit family:
+
+| run | suite best (local[32], sf0.1) | docs/sec | efficiency best | efficiency median |
+|---|---|---|---|---|
+| 1 (recorded full run) | 5.057 s | 395,455 | 0.930 | 0.925 |
+| 2 (scaling-only) | — | — | 0.929 | 0.924 |
+
+Pair dispersions: run 1 [0.913-0.934] (max/min 1.023 — the tightest
+of any round), run 2 [0.887-1.249] (one high-side outlier pair,
+absorbed by the median). Two runs agreeing to the third decimal on
+the median is the stability the round-3 verdict demanded of the
+protocol; contrast the round-3/4 tables below.
+
 ## Round-3 run-to-run distribution
 
 Measured 2026-08-18 (three back-to-back full runs, same commit):
