@@ -176,3 +176,60 @@ def test_validate_spec_dict_never_raises(doc):
         assert res.error_count >= 1
     for e in res.errors:
         assert e.error_at.startswith("$")
+
+
+@given(
+    st.lists(st.integers(0, (1 << 128) - 1), min_size=1, max_size=64),
+    st.integers(8, (1 << 36)),
+)
+@settings(max_examples=60, deadline=None)
+def test_bloom_positions_vectorized_equals_scalar(values, m_bits):
+    """Property: the numpy position kernel is bit-identical to the
+    scalar double-hash reference for ANY digest and ANY bitmap size —
+    including the uint64-fast-path/Python-int boundary at m = 2^31."""
+    import numpy as np
+
+    from py_schemax_spark.operators.decontam import (
+        _bloom_positions,
+        _bloom_positions_np,
+    )
+
+    digests = [f"{v:032x}" for v in values]
+    got = _bloom_positions_np(digests, m_bits)
+    want = np.array([_bloom_positions(h, m_bits) for h in digests])
+    assert (got == want).all()
+    assert got.min() >= 0 and got.max() < m_bits
+
+
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=400),
+    st.integers(2, 12),
+    st.lists(st.integers(1, 50), min_size=1, max_size=20),
+)
+@settings(max_examples=60, deadline=None)
+def test_mg_merge_guarantee_property(vals, k, cuts):
+    """Property: for ANY value stream, ANY k, and ANY batch split,
+    the batched merge keeps ≤ k-1 counters that lower-bound true
+    counts and never misses a value with count > N/k."""
+    from collections import Counter
+
+    from py_schemax_spark.operators.sketches import _mg_merge_batch
+
+    stream = [f"v{v}" for v in vals]
+    truth = Counter(stream)
+    merged: dict = {}
+    i = 0
+    for c in cuts:
+        if i >= len(stream):
+            break
+        _mg_merge_batch(merged, Counter(stream[i : i + c]), k)
+        i += c
+    if i < len(stream):
+        _mg_merge_batch(merged, Counter(stream[i:]), k)
+    n = len(stream)
+    assert len(merged) <= k - 1
+    for v, c in merged.items():
+        assert c <= truth[v]
+    for v, c in truth.items():
+        if c * k > n:
+            assert v in merged
